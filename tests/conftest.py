@@ -1,0 +1,18 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware by forcing the host
+platform and splitting it into 8 virtual devices (the driver separately
+dry-run-compiles the multi-chip path via ``__graft_entry__.dryrun_multichip``).
+Must run before the first ``import jax`` in any test module.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,157 @@
+"""MPI renderer vs a torch oracle (forward + gradients), plus internal
+consistency of the chunked/segment-compositing paths.
+
+The oracle re-expresses the published MPI rendering math — ray–plane
+intersection, UV normalization, bilinear warp via ``F.grid_sample``,
+front-to-back over-compositing with ``w = a * cumprod(1 - a + 1e-10)`` —
+with torch primitives (matching ``gmpi/core/mpi.py`` semantics).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from gmpi_tpu.core import camera as cam
+from gmpi_tpu.core import geometry as geom_mod
+from gmpi_tpu.core import poses as poses_mod
+from gmpi_tpu.core.renderer import (
+    check_rays_hit_last_plane,
+    combine_segments,
+    render_mpi,
+    render_mpi_chunked,
+    render_slab_partial,
+)
+
+FFHQ_CAM = dict(
+    fov_deg=12.6,
+    sphere_center_z=1.0,
+    sphere_r=1.0,
+    yaw_mean=0.0,
+    yaw_std=0.289,
+    pitch_mean=0.0,
+    pitch_std=0.127,
+    n_truncated_stds=2.0,
+)
+
+
+def build_fixture(n_planes=8, tex=64, img=48, n_views=3, seed=0):
+    geom = geom_mod.build_plane_geometry(
+        n_planes=n_planes,
+        min_d=0.95,
+        max_d=1.12,
+        distance_sample_method="inverse",
+        enlarge_factor=1.001,
+        confined=True,
+        **FFHQ_CAM,
+    )
+    rng = np.random.default_rng(seed)
+    rgba = rng.random((n_views, n_planes, 4, tex, tex)).astype(np.float32)
+    yaws = np.linspace(-0.3, 0.3, n_views).astype(np.float32).reshape(-1, 1)
+    pitches = np.linspace(-0.15, 0.15, n_views).astype(np.float32).reshape(-1, 1)
+    c2w = poses_mod.c2w_from_yaw_pitch(jnp.asarray(yaws), jnp.asarray(pitches), 1.0, 1.0)
+    intr = cam.intrinsics_from_fov(12.6, img, img)
+    ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+    return geom, rgba, ray_dir, eye, z_dir
+
+
+def torch_reference_render(rgba, dhw, ray_dir, eye, z_dir, align_corners=True):
+    """Oracle: MPI render via torch ops, plane 0 nearest."""
+    V, L = rgba.shape[:2]
+    H, W = ray_dir.shape[-2:]
+    d = dhw[:, 0].view(1, L, 1, 1)
+    height = dhw[:, 1].view(1, L, 1, 1)
+    width = dhw[:, 2].view(1, L, 1, 1)
+    with torch.no_grad():
+        z_eye = eye[:, 2].view(V, 1, 1, 1)
+        z_ray = ray_dir[:, 2].unsqueeze(1)  # [V,1,H,W]
+        scale = (d - z_eye) / z_ray  # [V,L,H,W]
+        x = eye[:, 0].view(V, 1, 1, 1) + ray_dir[:, 0].unsqueeze(1) * scale
+        y = eye[:, 1].view(V, 1, 1, 1) + ray_dir[:, 1].unsqueeze(1) * scale
+        u = 2 * x / width
+        v = 2 * y / height
+        if not align_corners:
+            m = (u >= -1) & (u <= 1)
+            u = torch.where(m, u * 0.95, u)
+            m = (v >= -1) & (v <= 1)
+            v = torch.where(m, v * 0.95, v)
+        grid = torch.stack([u, v], dim=-1).reshape(V * L, H, W, 2)
+        dist2depth = torch.einsum("vchw,vc->vhw", ray_dir, z_dir).unsqueeze(1)
+        depth = scale * dist2depth  # [V,L,H,W]
+        disp = 1.0 / depth
+        depth = 1.0 / disp
+    samp = F.grid_sample(
+        rgba.reshape(V * L, 4, *rgba.shape[-2:]),
+        grid,
+        mode="bilinear",
+        padding_mode="zeros",
+        align_corners=align_corners,
+    ).reshape(V, L, 4, H, W)
+    rgb, alpha = samp[:, :, :3], samp[:, :, 3:4]
+    shifted = torch.cat([torch.ones_like(alpha[:, :1]), 1 - alpha + 1e-10], dim=1)
+    weights = alpha * torch.cumprod(shifted, dim=1)[:, :-1]
+    color = (weights * rgb).sum(1)
+    depth_out = (weights * depth.unsqueeze(2)).sum(1)
+    return color, depth_out
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_forward_matches_torch(align_corners):
+    geom, rgba, ray_dir, eye, z_dir = build_fixture()
+    out = render_mpi(jnp.asarray(rgba), geom.dhw, ray_dir, eye, z_dir, align_corners)
+
+    t = lambda a: torch.from_numpy(np.asarray(a))
+    want_c, want_d = torch_reference_render(
+        t(rgba), t(geom.dhw), t(ray_dir), t(eye), t(z_dir), align_corners
+    )
+    np.testing.assert_allclose(np.asarray(out.color), want_c.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.depth), want_d.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_grad_matches_torch():
+    geom, rgba, ray_dir, eye, z_dir = build_fixture(n_planes=6, tex=32, img=24, n_views=2)
+    rng = np.random.default_rng(7)
+    cot_c = rng.standard_normal((2, 3, 24, 24)).astype(np.float32)
+    cot_d = rng.standard_normal((2, 1, 24, 24)).astype(np.float32)
+
+    t_rgba = torch.from_numpy(rgba).requires_grad_(True)
+    t = lambda a: torch.from_numpy(np.asarray(a))
+    c, d = torch_reference_render(t_rgba, t(geom.dhw), t(ray_dir), t(eye), t(z_dir))
+    (c * torch.from_numpy(cot_c)).sum().add_((d * torch.from_numpy(cot_d)).sum()).backward()
+    want = t_rgba.grad.numpy()
+
+    def loss(x):
+        out = render_mpi(x, geom.dhw, ray_dir, eye, z_dir)
+        return jnp.sum(out.color * cot_c) + jnp.sum(out.depth * cot_d)
+
+    got = np.asarray(jax.grad(loss)(jnp.asarray(rgba)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_matches_full():
+    geom, rgba, ray_dir, eye, z_dir = build_fixture(n_planes=8)
+    full = render_mpi(jnp.asarray(rgba), geom.dhw, ray_dir, eye, z_dir)
+    chunked = render_mpi_chunked(jnp.asarray(rgba), geom.dhw, ray_dir, eye, z_dir, plane_chunk=2)
+    np.testing.assert_allclose(np.asarray(chunked.color), np.asarray(full.color), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(chunked.depth), np.asarray(full.depth), rtol=1e-5, atol=1e-6)
+
+
+def test_segment_compositing_associative():
+    geom, rgba, ray_dir, eye, z_dir = build_fixture(n_planes=8)
+    rgba = jnp.asarray(rgba)
+    full = render_mpi(rgba, geom.dhw, ray_dir, eye, z_dir)
+    dhw = jnp.broadcast_to(geom.dhw[None], (rgba.shape[0], 8, 3))
+    front = render_slab_partial(rgba[:, :3], dhw[:, :3], ray_dir, eye, z_dir)
+    back = render_slab_partial(rgba[:, 3:], dhw[:, 3:], ray_dir, eye, z_dir)
+    color, depth, _ = combine_segments(front, back)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(full.color), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(full.depth), rtol=1e-5, atol=1e-6)
+
+
+def test_rays_hit_last_plane():
+    geom, rgba, ray_dir, eye, z_dir = build_fixture()
+    dhw_last = jnp.broadcast_to(geom.dhw[-1][None], (ray_dir.shape[0], 3))
+    assert check_rays_hit_last_plane(dhw_last, eye, ray_dir, z_dir)
