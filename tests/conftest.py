@@ -3,7 +3,11 @@
 Multi-chip sharding is validated without TPU hardware by forcing the host
 platform and splitting it into 8 virtual devices (the driver separately
 dry-run-compiles the multi-chip path via ``__graft_entry__.dryrun_multichip``).
-Must run before the first ``import jax`` in any test module.
+
+NOTE: this image ships a ``sitecustomize`` that registers a remote-TPU
+("axon") PJRT backend and sets ``jax_platforms='axon,cpu'`` at interpreter
+start — env vars alone cannot override it, so we force the platform via
+``jax.config`` after import (safe: backends initialize lazily on first use).
 """
 
 import os
@@ -15,4 +19,5 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
