@@ -135,8 +135,8 @@ def test_chunked_matches_full():
     geom, rgba, ray_dir, eye, z_dir = build_fixture(n_planes=8)
     full = render_mpi(jnp.asarray(rgba), geom.dhw, ray_dir, eye, z_dir)
     chunked = render_mpi_chunked(jnp.asarray(rgba), geom.dhw, ray_dir, eye, z_dir, plane_chunk=2)
-    np.testing.assert_allclose(np.asarray(chunked.color), np.asarray(full.color), rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(chunked.depth), np.asarray(full.depth), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(chunked.color), np.asarray(full.color), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(chunked.depth), np.asarray(full.depth), rtol=1e-4, atol=1e-5)
 
 
 def test_segment_compositing_associative():
@@ -147,8 +147,8 @@ def test_segment_compositing_associative():
     front = render_slab_partial(rgba[:, :3], dhw[:, :3], ray_dir, eye, z_dir)
     back = render_slab_partial(rgba[:, 3:], dhw[:, 3:], ray_dir, eye, z_dir)
     color, depth, _ = combine_segments(front, back)
-    np.testing.assert_allclose(np.asarray(color), np.asarray(full.color), rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(depth), np.asarray(full.depth), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(full.color), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(full.depth), rtol=1e-4, atol=1e-5)
 
 
 def test_rays_hit_last_plane():
