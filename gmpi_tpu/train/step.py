@@ -1,0 +1,269 @@
+"""The GAN training engine — pure, jitted, mesh-shardable train step.
+
+Re-designs the reference step loop (``gmpi/train.py:462-785``) as one pure
+function ``train_step(state, batch, rng) -> (state, metrics)``:
+
+* **D phase** (``train.py:462-625``): sample z, synthesize MPIs (no grad
+  to G), optional lighting augmentation, render into truncated-gaussian
+  poses, score real images (with R1 via grad-of-grad) and fakes, Adam update
+  with global-norm clip.
+* **G phase** (``train.py:627-785``): fresh z, *worst-view selection* — render
+  ``n_view_per_z`` candidate views per z without grad and keep the view with
+  the lowest D score (``train_helpers.find_worst_view_per_z``,
+  ``train_helpers.py:131-237``) — then differentiate through synth + lighting
+  + renderer + D at the chosen views.
+* dual generator EMA (0.999 / 0.9999, ``train.py:194-195, 784-785``) and the
+  mapping ``w_avg`` running average.
+
+Micro-batching: ``batch_split`` gradient accumulation (``train.py:630-635``)
+is expressed as a statically-unrolled loop inside the traced function, so XLA
+sees the full step.  Multi-chip: the returned step is ``jax.jit``-ed with
+batch-sharded inputs over a ``data`` mesh axis — gradient psum is inserted by
+XLA from the shardings (replacing DDP allreduce).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gmpi_tpu.config import ExperimentConfig
+from gmpi_tpu.core import camera as cam
+from gmpi_tpu.core import geometry as geom_mod
+from gmpi_tpu.core import poses as poses_mod
+from gmpi_tpu.core.lighting import LightingConfig, light_mpi
+from gmpi_tpu.core.renderer import render_mpi
+from gmpi_tpu.train.losses import d_gan_loss, g_gan_loss, r1_penalty
+
+
+class TrainState(NamedTuple):
+    params_g: dict
+    buffers_g: dict  # noise consts + mapping w_avg
+    params_d: dict
+    opt_g: optax.OptState
+    opt_d: optax.OptState
+    ema: dict  # EMA of params_g, decay .999
+    ema2: dict  # decay .9999
+    step: jnp.ndarray  # scalar int32
+
+
+def make_optimizers(cfg: ExperimentConfig):
+    """Adam with global-norm clipping; the mapping network runs at
+    ``lr * 0.05`` (``train.py:377-387``) via a label-partitioned transform."""
+    t = cfg.train
+    h = cfg.hparams
+
+    def adam(lr):
+        return optax.chain(
+            optax.clip_by_global_norm(t.grad_clip),
+            optax.adam(lr, b1=t.betas[0], b2=t.betas[1]),
+        )
+
+    def label_fn(params):
+        return {k: ("mapping" if k == "mapping" else "rest") for k in params}
+
+    opt_g = optax.multi_transform(
+        {"mapping": adam(h.gen_lr * t.mapping_lr_mult), "rest": adam(h.gen_lr)},
+        label_fn,
+    )
+    opt_d = adam(h.disc_lr)
+    return opt_g, opt_d
+
+
+def init_train_state(cfg: ExperimentConfig, key: jax.Array) -> TrainState:
+    gen_cfg = cfg.generator_cfg()
+    disc_cfg = cfg.discriminator_cfg()
+    kg, kd = jax.random.split(key)
+    params_g, buffers_g = gen_cfg.init(kg)
+    params_d = disc_cfg.init(kd)
+    opt_g, opt_d = make_optimizers(cfg)
+    return TrainState(
+        params_g=params_g,
+        buffers_g=buffers_g,
+        params_d=params_d,
+        opt_g=opt_g.init(params_g),
+        opt_d=opt_d.init(params_d),
+        ema=jax.tree_util.tree_map(jnp.copy, params_g),
+        ema2=jax.tree_util.tree_map(jnp.copy, params_g),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def flat_pose_from_c2w(c2w: jnp.ndarray, pose_dim: int) -> jnp.ndarray:
+    """D conditioning vector: flattened w2c (16) or its rotation block (9)
+    (``train.py:568-575``)."""
+    if pose_dim == 16:
+        w2c = jnp.linalg.inv(c2w)
+        return w2c.reshape(c2w.shape[0], 16)
+    if pose_dim == 9:
+        w2c_rot = jnp.linalg.inv(c2w[:, :3, :3])
+        return w2c_rot.reshape(c2w.shape[0], 9)
+    raise ValueError(pose_dim)
+
+
+def _ema_update(ema: dict, params: dict, decay: float) -> dict:
+    return jax.tree_util.tree_map(lambda e, p: decay * e + (1.0 - decay) * p, ema, params)
+
+
+def make_train_step(cfg: ExperimentConfig, donate: bool = True):
+    """Build the jitted train step for a preset.  All geometry (plane volume,
+    conditioning grids, camera rays basis) is computed host-side once and
+    closed over as constants."""
+    gen_cfg = cfg.generator_cfg()
+    disc_cfg = cfg.discriminator_cfg()
+    geom = cfg.plane_geometry()
+    xyz_dict = geom_mod.multi_res_xyz(geom, cfg.hparams.tex_size)
+    intr = cam.intrinsics_from_fov(cfg.fov_deg, cfg.hparams.img_size, cfg.hparams.img_size)
+    t = cfg.train
+    n_planes = cfg.planes.n_planes
+    align_corners = cfg.planes.align_corners
+    light_cfg = LightingConfig(
+        sphere_center_z=cfg.camera.sphere_center_z,
+        sphere_r=cfg.camera.sphere_r,
+        ka_max=t.lighting_max_ka,
+        kd_max=t.lighting_max_kd,
+        n_grow_iters=t.lighting_grow_n_iters,
+    )
+    xyz_last_plane = geom_mod.plane_xyz_grid(geom, cfg.hparams.tex_size, cfg.hparams.tex_size)[-1]
+    opt_g, opt_d = make_optimizers(cfg)
+    batch_split = cfg.hparams.batch_split
+
+    def synth(params_g, buffers_g, z, rng, stop_all_grad=False):
+        mpi = gen_cfg.apply(
+            params_g, buffers_g, z, None, xyz_dict, n_planes,
+            truncation_psi=t.truncation_psi,
+            noise_mode="random", rng=rng,
+            stop_mapping_grad=not t.train_mapping,
+            stop_trunk_grad=not t.train_trunk,
+        )
+        return jax.lax.stop_gradient(mpi) if stop_all_grad else mpi
+
+    def maybe_light(mpi, step, rng):
+        if not t.aug_with_lighting:
+            return mpi
+        lit = light_mpi(light_cfg, mpi, geom.dhw, xyz_last_plane,
+                        jnp.clip(step - t.lighting_start_iter, 0, None), rng)
+        return jnp.where(step > t.lighting_start_iter, lit, mpi)
+
+    def render_views(mpi, yaws, pitches):
+        """Render each MPI into its camera; returns imgs in [-1,1] + flat pose."""
+        c2w, _, _ = poses_mod.sample_sphere_poses(
+            None, mpi.shape[0], cfg.camera, given_yaws=yaws, given_pitches=pitches
+        )
+        ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+        out = render_mpi(mpi, geom.dhw, ray_dir, eye, z_dir, align_corners)
+        imgs = out.color * 2.0 - 1.0  # ``mpi_renderer.py:467``
+        flat_pose = flat_pose_from_c2w(c2w, t.d_cond_pose_dim) if t.d_cond_on_pose else None
+        return imgs, flat_pose
+
+    def sample_views(rng, n):
+        yaws, pitches = poses_mod.sample_yaw_pitch(rng, n, cfg.camera)
+        return yaws, pitches
+
+    def d_apply(params_d, imgs, flat_pose):
+        return disc_cfg.apply(params_d, imgs, flat_pose)
+
+    # -- D phase -------------------------------------------------------------
+
+    def d_phase(state: TrainState, real_imgs, real_pose, rng):
+        rng_z, rng_noise, rng_light, rng_pose = jax.random.split(rng, 4)
+        bs = real_imgs.shape[0]
+        z = jax.random.normal(rng_z, (bs, t.z_dim), jnp.float32)
+        mpi = synth(state.params_g, state.buffers_g, z, rng_noise, stop_all_grad=True)
+        mpi = maybe_light(mpi, state.step, rng_light)
+        yaws, pitches = sample_views(rng_pose, bs)
+        fake_imgs, fake_pose = render_views(mpi, yaws, pitches)
+        fake_imgs = jax.lax.stop_gradient(fake_imgs)
+
+        def d_loss_fn(params_d):
+            r_scores = d_apply(params_d, real_imgs, real_pose)
+            f_scores = d_apply(params_d, fake_imgs, fake_pose)
+            loss_real, loss_fake = d_gan_loss(r_scores, f_scores)
+            r1 = r1_penalty(lambda im: d_apply(params_d, im, real_pose), real_imgs, t.r1_lambda)
+            return loss_real + loss_fake + r1, (loss_real, loss_fake, r1)
+
+        (d_loss, (loss_real, loss_fake, r1)), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.params_d)
+        updates, new_opt_d = opt_d.update(grads, state.opt_d, state.params_d)
+        new_params_d = optax.apply_updates(state.params_d, updates)
+        metrics = {"d_loss": d_loss, "d_loss_real": loss_real, "d_loss_fake": loss_fake, "r1": r1}
+        return state._replace(params_d=new_params_d, opt_d=new_opt_d), metrics
+
+    # -- G phase -------------------------------------------------------------
+
+    def worst_views(state: TrainState, z, rng):
+        """Per-z hardest camera among ``n_view_per_z`` candidates
+        (``train_helpers.py:131-237``)."""
+        rng_noise, rng_pose = jax.random.split(rng)
+        bs = z.shape[0]
+        v = t.n_view_per_z
+        mpi = synth(state.params_g, state.buffers_g, z, rng_noise, stop_all_grad=True)
+        mpi_rep = jnp.repeat(mpi, v, axis=0)  # z-major: [z0v0, z0v1, ...]
+        yaws, pitches = sample_views(rng_pose, bs * v)
+        imgs, flat_pose = render_views(mpi_rep, yaws, pitches)
+        scores = d_apply(state.params_d, imgs, flat_pose).reshape(bs, v)
+        idx = jnp.argmin(scores, axis=1)  # lowest D score = hardest view
+        sel = idx + jnp.arange(bs) * v
+        return yaws[sel], pitches[sel]
+
+    def g_phase(state: TrainState, rng, bs):
+        rng_z, rng_worst, rng_noise, rng_light, rng_pose = jax.random.split(rng, 5)
+        z = jax.random.normal(rng_z, (bs, t.z_dim), jnp.float32)
+
+        if t.n_view_per_z > 1 and t.select_worst_view:
+            yaws, pitches = worst_views(state, z, rng_worst)
+        else:
+            yaws, pitches = sample_views(rng_pose, bs)
+
+        mbs = bs // batch_split
+        assert bs % batch_split == 0, (bs, batch_split)
+
+        def g_loss_fn(params_g):
+            total = 0.0
+            noise_keys = jax.random.split(rng_noise, batch_split)
+            light_keys = jax.random.split(rng_light, batch_split)
+            for s in range(batch_split):
+                sl = slice(s * mbs, (s + 1) * mbs)
+                mpi = synth(params_g, state.buffers_g, z[sl], noise_keys[s])
+                mpi = maybe_light(mpi, state.step, light_keys[s])
+                imgs, flat_pose = render_views(mpi, yaws[sl], pitches[sl])
+                scores = d_apply(state.params_d, imgs, flat_pose)
+                total = total + g_gan_loss(scores) / batch_split
+            return total
+
+        g_loss, grads = jax.value_and_grad(g_loss_fn)(state.params_g)
+        updates, new_opt_g = opt_g.update(grads, state.opt_g, state.params_g)
+        new_params_g = optax.apply_updates(state.params_g, updates)
+
+        # w_avg running mean (the reference updates it inside every training
+        # forward; one update per step is the jit-friendly equivalent)
+        ws = gen_cfg.mapping.apply(new_params_g["mapping"], state.buffers_g["mapping"], z, None)
+        new_w_avg = gen_cfg.mapping.updated_w_avg(state.buffers_g["mapping"], ws)
+        new_buffers = dict(state.buffers_g)
+        new_buffers["mapping"] = dict(state.buffers_g["mapping"], w_avg=new_w_avg)
+
+        new_state = state._replace(
+            params_g=new_params_g,
+            buffers_g=new_buffers,
+            opt_g=new_opt_g,
+            ema=_ema_update(state.ema, new_params_g, t.ema_decay),
+            ema2=_ema_update(state.ema2, new_params_g, t.ema2_decay),
+        )
+        return new_state, {"g_loss": g_loss}
+
+    # -- full step -----------------------------------------------------------
+
+    def train_step(state: TrainState, real_imgs, real_pose, rng):
+        """One D update + one G update.  ``real_imgs`` in [-1, 1],
+        ``real_pose`` the dataset's flat w2c conditioning vector."""
+        rng_d, rng_g = jax.random.split(rng)
+        state, d_metrics = d_phase(state, real_imgs, real_pose, rng_d)
+        state, g_metrics = g_phase(state, rng_g, real_imgs.shape[0])
+        state = state._replace(step=state.step + 1)
+        return state, {**d_metrics, **g_metrics}
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
