@@ -48,7 +48,7 @@ def main():
     # fwd+bwd: loss = <color, cot>; grad w.r.t. the full 96-plane RGBA stack.
     # plane-chunked (lax.scan slabs) to bound the warped-stack footprint.
     def loss(x):
-        out = render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir, plane_chunk=16)
+        out = render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir, plane_chunk=16, remat=True)
         return jnp.sum(out.color * cot)
 
     step = jax.jit(jax.value_and_grad(loss))

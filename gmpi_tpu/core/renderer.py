@@ -226,13 +226,18 @@ def render_mpi_chunked(
     z_dir: jnp.ndarray,
     plane_chunk: int,
     align_corners: bool = True,
+    remat: bool = False,
 ) -> RenderOutput:
     """Memory-bounded render: planes processed in contiguous front-to-back
     slabs of size ``plane_chunk`` via ``lax.scan`` + segment compositing.
 
     TPU-native generalization of the reference's ``chunk_n_planes`` memory
     relief (``gmpi/eval/vis/render_video.py:55-77``): peak footprint is one
-    slab's warped planes instead of all ``L``.
+    slab's warped planes instead of all ``L``.  ``remat=True`` additionally
+    rematerializes each slab's warp in the backward pass instead of saving
+    residuals across the scan — required for fwd+bwd at 96 planes x 1024²
+    within one chip's HBM (trades ~2x warp FLOPs for O(L/chunk) less live
+    memory).
     """
     v, l_planes = rgba.shape[0], rgba.shape[1]
     assert l_planes % plane_chunk == 0, (l_planes, plane_chunk)
@@ -245,9 +250,18 @@ def render_mpi_chunked(
 
     h, w = ray_dir.shape[2], ray_dir.shape[3]
 
+    slab_fn = render_slab_partial
+    if remat:
+        slab_fn = jax.checkpoint(
+            lambda r, d: render_slab_partial(r, d, ray_dir, eye_pos, z_dir, align_corners)
+        )
+
     def body(carry, slab):
         slab_rgba, slab_dhw = slab
-        out = render_slab_partial(slab_rgba, slab_dhw, ray_dir, eye_pos, z_dir, align_corners)
+        if remat:
+            out = slab_fn(slab_rgba, slab_dhw)
+        else:
+            out = slab_fn(slab_rgba, slab_dhw, ray_dir, eye_pos, z_dir, align_corners)
         return combine_segments(carry, out), None
 
     init = (

@@ -1,0 +1,210 @@
+"""Checkpoint-converter tests.
+
+The strongest check imports the *reference implementation itself* (read-only,
+``/root/reference``) as a numerical oracle: instantiate the reference torch
+Generator/Discriminator at a small config, convert their randomly-initialized
+``state_dict`` through our converter, and require our JAX forward to match the
+torch forward to float32 tolerance on the same inputs.  This is the
+"stylegan2_sanity_check" analogue (SURVEY §4) runnable without downloaded
+checkpoints.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gmpi_tpu.core import geometry as geom_mod
+from gmpi_tpu.models.converter import (
+    convert_discriminator_checkpoint,
+    convert_generator_checkpoint,
+    convert_state_dict,
+    merge_converted,
+    tree_to_state_dict,
+)
+from gmpi_tpu.models.discriminator import DiscriminatorCfg
+from gmpi_tpu.models.generator import GeneratorCfg, SynthesisNetworkCfg
+
+from tests._reference import import_reference, reference_available
+
+needs_reference = pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+
+
+def _import_reference_networks():
+    return import_reference("gmpi.models.networks.networks_cond_on_pos_enc")
+
+
+def small_cfgs(res=32, alpha_res=32):
+    gen = GeneratorCfg(
+        z_dim=64,
+        w_dim=64,
+        img_resolution=res,
+        synthesis=SynthesisNetworkCfg(
+            w_dim=64, img_resolution=res, channel_base=1024, channel_max=64,
+            num_bf16_res=0, conv_clamp=None, gen_alpha_largest_res=alpha_res,
+        ),
+    )
+    disc = DiscriminatorCfg(
+        c_dim=16, img_resolution=res, channel_base=1024, channel_max=64,
+        num_bf16_res=0, conv_clamp=None, cmap_dim=16, mbstd_group_size=2,
+    )
+    return gen, disc
+
+
+def test_roundtrip_state_dict():
+    gen, _ = small_cfgs()
+    params, buffers = gen.init(jax.random.key(0))
+    sd = tree_to_state_dict(params, buffers)
+    p2, b2 = convert_state_dict(sd)
+    merged_p, missing = merge_converted(params, p2)
+    assert not missing
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(merged_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@needs_reference
+def test_reference_generator_state_dict_converts_exactly():
+    """Every reference G parameter/buffer lands in our tree; nothing missing."""
+    ref_nets = _import_reference_networks()
+    import contextlib, io
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        g = ref_nets.Generator(
+            z_dim=64, c_dim=0, w_dim=64, img_resolution=32,
+            n_planes=6, plane_channels=4, pos_enc_multires=0,
+            torgba_cond_on_pos_enc="normalize_add_z",
+            torgba_cond_on_pos_enc_embed_func="modulated_lrelu",
+            torgba_sep_background=True, build_background_from_rgb=True,
+            build_background_from_rgb_ratio=0.05,
+            cond_on_pos_enc_only_alpha=True, gen_alpha_largest_res=32,
+            background_alpha_full=True, G_final_img_act="tanh",
+            mapping_kwargs={"num_layers": 8},
+            synthesis_kwargs={"channel_base": 1024, "channel_max": 64, "num_fp16_res": 0, "conv_clamp": None},
+        )
+    sd = {k: v.detach().numpy() for k, v in g.state_dict().items()}
+    gen_cfg, _ = small_cfgs()
+    params, buffers = convert_generator_checkpoint(sd, gen_cfg)  # require_all
+    # round trip: our export covers every non-static reference entry
+    ours = set(tree_to_state_dict(params, buffers).keys())
+    theirs = {k for k in sd if not k.endswith("resample_filter")}
+    assert ours == theirs
+
+
+@needs_reference
+def test_generator_forward_matches_reference():
+    """Same converted weights + same inputs => same MPI (fp32 tolerance)."""
+    import torch
+
+    ref_nets = _import_reference_networks()
+    import contextlib, io
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        g = ref_nets.Generator(
+            z_dim=64, c_dim=0, w_dim=64, img_resolution=32,
+            n_planes=6, plane_channels=4, pos_enc_multires=0,
+            torgba_cond_on_pos_enc="normalize_add_z",
+            torgba_cond_on_pos_enc_embed_func="modulated_lrelu",
+            torgba_sep_background=True, build_background_from_rgb=True,
+            build_background_from_rgb_ratio=0.05,
+            cond_on_pos_enc_only_alpha=True, gen_alpha_largest_res=32,
+            background_alpha_full=True, G_final_img_act="tanh",
+            mapping_kwargs={"num_layers": 8},
+            synthesis_kwargs={"channel_base": 1024, "channel_max": 64, "num_fp16_res": 0, "conv_clamp": None},
+        ).eval()
+    sd = {k: v.detach().numpy() for k, v in g.state_dict().items()}
+    gen_cfg, _ = small_cfgs()
+    params, buffers = convert_generator_checkpoint(sd, gen_cfg)
+
+    geom = geom_mod.build_plane_geometry(
+        n_planes=6, min_d=0.95, max_d=1.12, fov_deg=12.6,
+        sphere_center_z=1.0, sphere_r=1.0,
+        yaw_mean=0.0, yaw_std=0.289, pitch_mean=0.0, pitch_std=0.127,
+    )
+    xyz = geom_mod.multi_res_xyz(geom, 32)
+    z_np = np.random.default_rng(0).standard_normal((2, 64)).astype(np.float32)
+
+    ours = np.asarray(
+        gen_cfg.apply(params, buffers, jnp.asarray(z_np), None, xyz, 6, noise_mode="none")
+    )
+
+    xyz_torch = {r: torch.from_numpy(np.asarray(v)) for r, v in xyz.items()}
+    with torch.no_grad():
+        theirs = g(
+            z=torch.from_numpy(z_np), c=None,
+            mpi_xyz_coords=xyz_torch, xyz_coords_only_z=False, n_planes=6,
+            noise_mode="none",
+        ).numpy()
+
+    assert ours.shape == theirs.shape == (2, 6, 4, 32, 32)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-4)
+
+
+@needs_reference
+def test_discriminator_forward_matches_reference():
+    import torch
+
+    ref_nets = _import_reference_networks()
+    import contextlib, io
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        d = ref_nets.Discriminator(
+            16, 32, 3, channel_base=1024, channel_max=64, num_fp16_res=0,
+            conv_clamp=None, cmap_dim=16, use_mbstd_in_D=True,
+            epilogue_kwargs={"mbstd_group_size": 2},
+        ).eval()
+    sd = {k: v.detach().numpy() for k, v in d.state_dict().items()}
+    _, disc_cfg = small_cfgs()
+    params = convert_discriminator_checkpoint(sd, disc_cfg)
+
+    rng = np.random.default_rng(1)
+    img = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
+    pose = rng.standard_normal((4, 16)).astype(np.float32)
+
+    ours = np.asarray(disc_cfg.apply(params, jnp.asarray(img), jnp.asarray(pose)))
+    with torch.no_grad():
+        theirs = d(torch.from_numpy(img), None, torch.from_numpy(pose))[0].numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-4)
+
+
+@needs_reference
+def test_warm_start_partial_copy():
+    """Vanilla-StyleGAN2-style partial state dict: trunk absorbed, new heads
+    keep their init (``misc.copy_params_and_buffers(require_all=False)``)."""
+    ref_nets = _import_reference_networks()
+    import contextlib, io
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        g = ref_nets.Generator(
+            z_dim=64, c_dim=0, w_dim=64, img_resolution=32,
+            n_planes=6, plane_channels=4, pos_enc_multires=0,
+            torgba_cond_on_pos_enc="normalize_add_z",
+            torgba_cond_on_pos_enc_embed_func="modulated_lrelu",
+            torgba_sep_background=True, build_background_from_rgb=True,
+            build_background_from_rgb_ratio=0.05,
+            cond_on_pos_enc_only_alpha=True, gen_alpha_largest_res=32,
+            background_alpha_full=True, G_final_img_act="tanh",
+            mapping_kwargs={"num_layers": 8},
+            synthesis_kwargs={"channel_base": 1024, "channel_max": 64, "num_fp16_res": 0, "conv_clamp": None},
+        )
+    sd = {k: v.detach().numpy() for k, v in g.state_dict().items()}
+    # drop the MPI heads — emulating a vanilla StyleGAN2 source checkpoint
+    partial = {k: v for k, v in sd.items() if "toalpha" not in k and "pos_enc_embed" not in k}
+    gen_cfg, _ = small_cfgs()
+    params, buffers = convert_generator_checkpoint(sd, gen_cfg)
+    params_w, _ = convert_generator_checkpoint(partial, gen_cfg, warm_start=True, key=jax.random.key(5))
+    params_init, _ = gen_cfg.init(jax.random.key(5))
+    # trunk copied
+    np.testing.assert_array_equal(
+        np.asarray(params_w["synthesis"]["b8"]["conv0"]["weight"]),
+        np.asarray(params["synthesis"]["b8"]["conv0"]["weight"]),
+    )
+    # heads kept at init
+    np.testing.assert_array_equal(
+        np.asarray(params_w["synthesis"]["b16"]["toalpha"]["weight"]),
+        np.asarray(params_init["synthesis"]["b16"]["toalpha"]["weight"]),
+    )
