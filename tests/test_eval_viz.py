@@ -1,0 +1,133 @@
+"""Eval metrics, plane-chunked generation, video/mesh tooling tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gmpi_tpu.core import geometry as geom_mod
+from gmpi_tpu.eval.generate import generate_mpi
+from gmpi_tpu.eval.metrics import (
+    angle_error,
+    cosine_similarity,
+    fid_from_features,
+    kid_from_features,
+    normalized_depth_error,
+)
+from gmpi_tpu.viz.mesh import (
+    extract_mesh_from_alpha,
+    marching_tetrahedra,
+    mpi_mesh_volume_bounds,
+    save_ply,
+)
+from tests.test_models import tiny_gen_cfg, tiny_geometry
+
+
+# ---------------------------------------------------------------------------
+# Metric math
+# ---------------------------------------------------------------------------
+
+
+def test_fid_identical_distributions_is_zero():
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal((500, 16))
+    assert abs(fid_from_features(f, f.copy())) < 1e-6
+
+
+def test_fid_shifted_distributions():
+    rng = np.random.default_rng(0)
+    f1 = rng.standard_normal((2000, 8))
+    f2 = rng.standard_normal((2000, 8)) + 2.0
+    fid = fid_from_features(f1, f2)
+    # mean shift of 2 in 8 dims -> ||mu diff||^2 ~ 32 dominates
+    assert 25 < fid < 40
+
+
+def test_kid_near_zero_for_same_distribution():
+    rng = np.random.default_rng(1)
+    f = rng.standard_normal((600, 8))
+    # unbiased MMD^2: expectation 0 for identical distributions, nonzero
+    # variance on finite subsets
+    mean, _ = kid_from_features(f, f.copy(), subset_size=100, n_subsets=20)
+    assert abs(mean) < 0.05
+
+
+def test_kid_positive_for_shifted():
+    rng = np.random.default_rng(1)
+    f1 = rng.standard_normal((600, 8))
+    f2 = rng.standard_normal((600, 8)) + 1.0
+    mean, _ = kid_from_features(f1, f2, subset_size=100, n_subsets=10)
+    assert mean > 0.1
+
+
+def test_depth_and_angle_errors():
+    rng = np.random.default_rng(2)
+    d = rng.uniform(0.5, 1.5, (16, 16))
+    mask = np.ones((16, 16))
+    assert normalized_depth_error(d, d * 2.0 + 3.0, mask) < 1e-10  # affine-invariant
+    assert normalized_depth_error(d, rng.uniform(0.5, 1.5, (16, 16)), mask) > 0.1
+    assert angle_error(np.array([0.1, 0.2]), np.array([0.1, -0.2, 0.0])) < 1e-12
+    assert cosine_similarity(np.ones(4), np.ones(4)) == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Plane-chunked generation == unchunked
+# ---------------------------------------------------------------------------
+
+
+def test_generate_mpi_chunked_matches_full():
+    cfg = tiny_gen_cfg(res=16, alpha_res=16)
+    params, buffers = cfg.init(jax.random.key(0))
+    geom = tiny_geometry(n_planes=8)
+    xyz = geom_mod.multi_res_xyz(geom, 16)
+    z = jax.random.normal(jax.random.key(1), (2, cfg.z_dim))
+
+    full = generate_mpi(cfg, params, buffers, z, xyz, 8, chunk_n_planes=-1, noise_mode="const")
+    chunked = generate_mpi(cfg, params, buffers, z, xyz, 8, chunk_n_planes=3, noise_mode="const")
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Mesh
+# ---------------------------------------------------------------------------
+
+
+def test_marching_tetrahedra_sphere():
+    n = 24
+    g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    center = (n - 1) / 2.0
+    r = np.sqrt(((g - center) ** 2).sum(axis=0))
+    vol = (r < 7.0).astype(np.float32)
+    verts, faces = marching_tetrahedra(vol, 0.5)
+    assert len(verts) > 100 and len(faces) > 100
+    # all surface vertices near radius 7 of the center
+    d = np.linalg.norm(verts - center, axis=1)
+    assert np.all(np.abs(d - 7.0) < 1.5)
+
+
+def test_extract_mesh_and_ply(tmp_path):
+    n = 16
+    alpha = np.zeros((n, n, n), np.float32)
+    alpha[6:10, 6:10, 6:10] = 1.0
+    vmin = np.array([-1.0, -1.0, 0.5])
+    vmax = np.array([1.0, 1.0, 2.5])
+    verts, faces = extract_mesh_from_alpha(alpha, vmin, vmax, iso=0.1)
+    assert len(verts) > 0
+    assert verts.min() >= vmin.min() - 1e-5 and verts.max() <= vmax.max() + 1e-5
+    ply = tmp_path / "mesh.ply"
+    save_ply(str(ply), verts, faces)
+    data = ply.read_bytes()
+    assert data.startswith(b"ply") and len(data) > 100
+
+
+def test_volume_bounds():
+    geom = tiny_geometry(n_planes=6)
+    vmin, vmax, ratio = mpi_mesh_volume_bounds(np.asarray(geom.dhw), 0.95, 1.12)
+    assert (vmax > vmin).all()
+    # cube: equal extents
+    ext = vmax - vmin
+    np.testing.assert_allclose(ext[0], ext[2], rtol=1e-6)
+    assert 0 < ratio <= 1.0
