@@ -96,6 +96,23 @@ def homography_grid(
     return grid, depth
 
 
+def _sample(rgba, grid, align_corners, tiled_bands):
+    """Warp-backend dispatch: portable per-pixel gather, or the tile-banded
+    MXU warp (``gmpi_tpu/ops/tiled_warp.py`` — the TPU-native path, ~300x the
+    gather formulation on v5e) when ``tiled_bands=(band_y, band_x)`` is given.
+    """
+    if tiled_bands is None:
+        return grid_sample_bilinear(rgba, grid, align_corners=align_corners)
+    from gmpi_tpu.ops.tiled_warp import grid_sample_tiled
+
+    band_y, band_x = tiled_bands
+    h, w = grid.shape[1], grid.shape[2]
+    tile = (8 if h % 8 == 0 else 1, 128 if w % 128 == 0 else w)
+    return grid_sample_tiled(
+        rgba, grid, band_y=band_y, band_x=band_x, tile=tile, align_corners=align_corners
+    )
+
+
 def warp_planes(
     rgba: jnp.ndarray,
     dhw: jnp.ndarray,
@@ -103,6 +120,7 @@ def warp_planes(
     ray_dir: jnp.ndarray,
     z_dir: jnp.ndarray,
     align_corners: bool = True,
+    tiled_bands: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Inverse-warp flattened planes into their cameras: the full
     ``homography()`` (``gmpi/core/mpi.py:26-153``).
@@ -112,7 +130,7 @@ def warp_planes(
     grid, depth = homography_grid(dhw, eye_pos, ray_dir, z_dir, align_corners)
     grid = lax.stop_gradient(grid)
     depth = lax.stop_gradient(depth)
-    sampled = grid_sample_bilinear(rgba, grid, align_corners=align_corners)
+    sampled = _sample(rgba, grid, align_corners, tiled_bands)
     rgb = sampled[:, :3]
     alpha = sampled[:, 3:4]
     disp = 1.0 / depth
@@ -170,6 +188,7 @@ def render_mpi(
     eye_pos: jnp.ndarray,
     z_dir: jnp.ndarray,
     align_corners: bool = True,
+    tiled_bands: Optional[Tuple[int, int]] = None,
 ) -> RenderOutput:
     """Render a batch of MPIs into their cameras (one camera per MPI).
 
@@ -203,7 +222,7 @@ def render_mpi(
     grid, depth = homography_grid(flat_dhw, flat_eye, flat_ray, flat_z, align_corners)
     grid = lax.stop_gradient(grid)
     depth = lax.stop_gradient(depth)
-    sampled = grid_sample_bilinear(flat_rgba, grid, align_corners=align_corners)
+    sampled = _sample(flat_rgba, grid, align_corners, tiled_bands)
 
     # match reference fp order: disp = 1/depth, then depth = 1/disp
     # (``gmpi/core/mpi.py:151, 411``).
@@ -227,6 +246,7 @@ def render_mpi_chunked(
     plane_chunk: int,
     align_corners: bool = True,
     remat: bool = False,
+    tiled_bands: Optional[Tuple[int, int]] = None,
 ) -> RenderOutput:
     """Memory-bounded render: planes processed in contiguous front-to-back
     slabs of size ``plane_chunk`` via ``lax.scan`` + segment compositing.
@@ -253,7 +273,7 @@ def render_mpi_chunked(
     slab_fn = render_slab_partial
     if remat:
         slab_fn = jax.checkpoint(
-            lambda r, d: render_slab_partial(r, d, ray_dir, eye_pos, z_dir, align_corners)
+            lambda r, d: render_slab_partial(r, d, ray_dir, eye_pos, z_dir, align_corners, tiled_bands)
         )
 
     def body(carry, slab):
@@ -261,7 +281,7 @@ def render_mpi_chunked(
         if remat:
             out = slab_fn(slab_rgba, slab_dhw)
         else:
-            out = slab_fn(slab_rgba, slab_dhw, ray_dir, eye_pos, z_dir, align_corners)
+            out = slab_fn(slab_rgba, slab_dhw, ray_dir, eye_pos, z_dir, align_corners, tiled_bands)
         return combine_segments(carry, out), None
 
     init = (
@@ -280,6 +300,7 @@ def render_slab_partial(
     eye_pos: jnp.ndarray,
     z_dir: jnp.ndarray,
     align_corners: bool = True,
+    tiled_bands: Optional[Tuple[int, int]] = None,
 ):
     """Warp + partially composite one plane slab; returns slab partials for
     :func:`combine_segments`."""
@@ -293,7 +314,7 @@ def render_slab_partial(
     ).astype(jnp.float32)
     flat_eye = jnp.broadcast_to(eye_pos[:, None], (v, l_planes, 3)).reshape(v * l_planes, 3).astype(jnp.float32)
     flat_z = jnp.broadcast_to(z_dir[:, None], (v, l_planes, 3)).reshape(v * l_planes, 3).astype(jnp.float32)
-    rgb, disp, alpha = warp_planes(flat_rgba, flat_dhw, flat_eye, flat_ray, flat_z, align_corners)
+    rgb, disp, alpha = warp_planes(flat_rgba, flat_dhw, flat_eye, flat_ray, flat_z, align_corners, tiled_bands)
     depth = 1.0 / disp
     rgb = rgb.reshape(v, l_planes, 3, h, w)
     alpha = alpha.reshape(v, l_planes, 1, h, w)
