@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""CLI launcher — the ``launch.py`` / ``run_gmpi.py`` analogue.
+
+Single-process SPMD over all local TPU devices (no mp.spawn needed):
+
+    python train_gmpi.py --dataset FFHQ256 \
+        --data_root ffhq256x256.zip --pose_root ffhq256_deep3dface_coeffs \
+        --output_dir runs/ffhq256 [--warm_start stylegan2_ffhq256.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", required=True,
+                   choices=["FFHQ256", "FFHQ512", "FFHQ1024", "AFHQCat", "MetFaces"])
+    p.add_argument("--data_root", required=True, help="image zip/folder path")
+    p.add_argument("--pose_root", required=True, help="pose coefficient dir")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--total_iters", type=int, default=None)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--warm_start", default=None,
+                   help=".npz state dict (reference naming) to warm start G from")
+    p.add_argument("--no_resume", action="store_true")
+    args = p.parse_args()
+
+    import numpy as np
+
+    import jax
+
+    from gmpi_tpu.config import get_config
+    from gmpi_tpu.data import ShardedLoader, get_dataset
+    from gmpi_tpu.train.loop import train
+
+    cfg = get_config(args.dataset)
+    dataset_name = "FFHQ" if args.dataset.startswith("FFHQ") else args.dataset
+    dataset = get_dataset(
+        dataset_name,
+        dataset_path=args.data_root,
+        raw_img_size=cfg.resolution,
+        img_size=cfg.hparams.img_size,
+        pose_data_path=args.pose_root,
+        sphere_center=cfg.camera.sphere_center_z,
+        sphere_r=cfg.camera.sphere_r,
+        flat_pose_dim=cfg.train.d_cond_pose_dim,
+    )
+    # multi-host: each host loads its shard; devices within a host are fed by
+    # the host batch, sharded over the mesh's data axis by the train loop
+    loader = ShardedLoader(
+        dataset,
+        batch_size=cfg.hparams.batch_size,
+        shard_id=jax.process_index(),
+        num_shards=jax.process_count(),
+        seed=args.seed,
+    )
+
+    init_params_g = init_buffers_g = None
+    if args.warm_start:
+        from gmpi_tpu.models.converter import convert_generator_checkpoint
+
+        with np.load(args.warm_start) as data:
+            sd = {k: data[k] for k in data.files}
+        init_params_g, init_buffers_g = convert_generator_checkpoint(
+            sd, cfg.generator_cfg(), warm_start=True, key=jax.random.key(args.seed)
+        )
+
+    train(
+        cfg,
+        iter(loader),
+        args.output_dir,
+        total_iters=args.total_iters,
+        resume=not args.no_resume,
+        init_params_g=init_params_g,
+        init_buffers_g=init_buffers_g,
+        seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()
