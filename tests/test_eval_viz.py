@@ -131,3 +131,37 @@ def test_volume_bounds():
     ext = vmax - vmin
     np.testing.assert_allclose(ext[0], ext[2], rtol=1e-6)
     assert 0 < ratio <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# InceptionV3 feature extractor (structure; numerics need pretrained weights)
+# ---------------------------------------------------------------------------
+
+
+def test_inception_pool3_shapes():
+    from gmpi_tpu.eval.inception import inception_pool3, make_feature_fn, random_params
+
+    params = random_params(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).random((2, 3, 64, 64)).astype(np.float32))
+    feats = inception_pool3(params, x)
+    assert feats.shape == (2, 2048)
+    assert np.isfinite(np.asarray(feats)).all()
+
+    fn = make_feature_fn(params, batch=1)
+    out = fn(np.random.default_rng(1).random((3, 3, 32, 32)).astype(np.float32))
+    assert out.shape == (3, 2048)
+
+
+def test_inception_state_dict_converter():
+    from gmpi_tpu.eval.inception import convert_torch_state_dict
+
+    sd = {
+        "Conv2d_1a_3x3.conv.weight": np.zeros((32, 3, 3, 3), np.float32),
+        "Conv2d_1a_3x3.bn.weight": np.ones(32, np.float32),
+        "Conv2d_1a_3x3.bn.num_batches_tracked": np.zeros(()),
+        "fc.weight": np.zeros((1000, 2048)),
+    }
+    tree = convert_torch_state_dict(sd)
+    assert tree["Conv2d_1a_3x3"]["conv"]["weight"].shape == (32, 3, 3, 3)
+    assert "num_batches_tracked" not in tree["Conv2d_1a_3x3"]["bn"]
+    assert "fc" not in tree
