@@ -78,7 +78,7 @@ def main():
         def body(i, acc):
             g = grad_fn(x + acc * 0.0)
             return acc + g[0, 0, 0, 0]
-        return jax.lax.fori_loop(0, INNER_ITERS, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, INNER_ITERS, body, jnp.zeros((), jnp.float32))
 
     float(np.asarray(bench_step(rgba)))  # compile + sync
 
