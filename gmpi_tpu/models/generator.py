@@ -164,6 +164,7 @@ class SynthesisBlockCfg:
     only_alpha: bool = True
     gen_alpha_largest_res: int = 256
     img_channels: int = 4
+    n_planes_train: int = 32  # token count for embed_func="learnable_param"
 
     @property
     def gen_alpha_this_res(self) -> bool:
@@ -218,6 +219,8 @@ class SynthesisBlockCfg:
                 self.pos_enc_total_ch, c, self.w_dim, (c // 4, c // 2, c),
                 conv_clamp=self.conv_clamp, act_name=act,
             )
+        if self.embed_func == "learnable_param":
+            return "learnable_param"
         raise ValueError(self.embed_func)
 
     def _torgb(self) -> ToRGB:
@@ -256,6 +259,14 @@ class SynthesisBlockCfg:
                         k, kk = jax.random.split(k)
                         sub[f"conv{i}"] = layer.init(kk)
                     params[name] = sub
+                elif head == "learnable_param":
+                    # per-plane learned token (``networks_pos_enc_learnable_param.py:656-668``)
+                    params[name + "_learnable_param"] = jax.random.uniform(
+                        k, (1, self.n_planes_train, self.out_channels, 1, 1), jnp.float32
+                    )
+                    buffers[name + "_learnable_param_left_append"] = jnp.zeros(
+                        (1, 1, self.out_channels, 1, 1), jnp.float32
+                    )
                 else:
                     params[name] = head.init(k)
 
@@ -285,11 +296,26 @@ class SynthesisBlockCfg:
             return x
         return head.apply(p, x, w, splitted=True, n_planes=n_planes)
 
-    def _embed_z(self, params: dict, z_vals: jnp.ndarray, w, bs: int, n_planes: int, key: str = "pos_enc_embed") -> jnp.ndarray:
+    def _embed_z(self, params: dict, z_vals: jnp.ndarray, w, bs: int, n_planes: int, key: str = "pos_enc_embed",
+                 buffers: Optional[dict] = None, z_interpolation_ws: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Per-plane depth embedding -> [bs*L or L, C, 1, 1]
         (``_add_z``, ``networks_cond_on_pos_enc.py:993-1030``)."""
-        enc = apply_pos_enc(z_vals.reshape(n_planes, 1), self.pos_enc_multires)  # [L, pos_ch]
         head = self._embed_head()
+        if head == "learnable_param":
+            # learned per-plane tokens; eval-time plane-count change blends
+            # neighboring tokens with boundary sentinels
+            # (``networks_pos_enc_learnable_param.py:880-901``)
+            tokens = params[key + "_learnable_param"]  # [1, L_train, C, 1, 1]
+            if z_interpolation_ws is not None:
+                left = buffers[key + "_learnable_param_left_append"]
+                right = tokens[:, -1:]
+                ext = jnp.concatenate([left, tokens, right], axis=1)  # [1, L_src+2, C, 1, 1]
+                n_tgt, n_src = z_interpolation_ws.shape
+                ws_r = z_interpolation_ws.reshape(1, n_tgt, n_src, 1, 1, 1)
+                tokens = jnp.sum(ext[:, None] * ws_r, axis=2)  # [1, n_tgt, C, 1, 1]
+            assert tokens.shape[1] == n_planes, (tokens.shape, n_planes)
+            return jnp.broadcast_to(tokens, (bs, n_planes, *tokens.shape[2:])).reshape(bs * n_planes, -1, 1, 1)
+        enc = apply_pos_enc(z_vals.reshape(n_planes, 1), self.pos_enc_multires)  # [L, pos_ch]
         if isinstance(head, ToRGBDeeperModulated):
             inp = jnp.broadcast_to(enc[None], (bs, n_planes, enc.shape[-1])).reshape(bs * n_planes, -1, 1, 1)
             return self._apply_embed_head(params[key], head, inp, w, n_planes)  # [bs*L, C, 1, 1]
@@ -348,6 +374,7 @@ class SynthesisBlockCfg:
         noise_mode: str = "random",
         rng: Optional[jax.Array] = None,
         stop_trunk_grad: bool = False,
+        z_interpolation_ws: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         bs = block_ws.shape[0]
         res = self.resolution
@@ -382,7 +409,8 @@ class SynthesisBlockCfg:
             xyz = xyz.astype(jnp.float32)
             if self.cond_mode in ("add_z", "normalize_add_z"):
                 z_vals = xyz[:, 0, 0, 2] if xyz.ndim == 4 else xyz.reshape(n_planes)
-                embeds = self._embed_z(params, z_vals.astype(dtype), w_conv1, bs, n_planes)
+                embeds = self._embed_z(params, z_vals.astype(dtype), w_conv1, bs, n_planes,
+                                       buffers=buffers, z_interpolation_ws=z_interpolation_ws)
                 cond_x = x
                 if self.cond_mode == "normalize_add_z":
                     mean, std = instance_mean_std(cond_x.astype(jnp.float32))
@@ -466,6 +494,7 @@ class SynthesisNetworkCfg:
     bg_ratio: float = 0.05
     only_alpha: bool = True
     gen_alpha_largest_res: int = 256
+    n_planes_train: int = 32
 
     @property
     def block_resolutions(self):
@@ -495,6 +524,7 @@ class SynthesisNetworkCfg:
             bg_ratio=self.bg_ratio,
             only_alpha=self.only_alpha,
             gen_alpha_largest_res=self.gen_alpha_largest_res,
+            n_planes_train=self.n_planes_train,
         )
 
     @property
@@ -524,6 +554,7 @@ class SynthesisNetworkCfg:
         noise_mode: str = "random",
         rng: Optional[jax.Array] = None,
         stop_trunk_grad: bool = False,
+        z_interpolation_ws: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         ws = ws.astype(jnp.float32)
         x = img = None
@@ -537,6 +568,7 @@ class SynthesisNetworkCfg:
             x, img = cfg.apply(
                 params[f"b{res}"], buffers[f"b{res}"], x, img, block_ws, xyz, n_planes,
                 noise_mode=noise_mode, rng=block_rng, stop_trunk_grad=stop_trunk_grad,
+                z_interpolation_ws=z_interpolation_ws,
             )
         return img
 
@@ -584,12 +616,14 @@ class GeneratorCfg:
         noise_mode: str = "random",
         rng: Optional[jax.Array] = None,
         stop_trunk_grad: bool = False,
+        z_interpolation_ws: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """ws -> MPI [B, L, 4, R, R] in [0, 1] (``Generator.synthesize``,
         ``networks_cond_on_pos_enc.py:1268-1315``)."""
         img = self.synthesis.apply(
             params["synthesis"], buffers["synthesis"], ws, xyz_dict, n_planes,
             noise_mode=noise_mode, rng=rng, stop_trunk_grad=stop_trunk_grad,
+            z_interpolation_ws=z_interpolation_ws,
         )
         if self.final_img_act == "none":
             img = (jnp.clip(img, -1.0, 1.0) + 1.0) / 2.0
@@ -619,6 +653,7 @@ class GeneratorCfg:
         rng: Optional[jax.Array] = None,
         stop_mapping_grad: bool = False,
         stop_trunk_grad: bool = False,
+        z_interpolation_ws: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Full forward: z -> MPI [B, L, 4, R, R]
         (``Generator.forward``, ``networks_cond_on_pos_enc.py:1317-1326``)."""
@@ -628,4 +663,5 @@ class GeneratorCfg:
         return self.synthesize(
             params, buffers, ws, xyz_dict, n_planes,
             noise_mode=noise_mode, rng=rng, stop_trunk_grad=stop_trunk_grad,
+            z_interpolation_ws=z_interpolation_ws,
         )

@@ -254,3 +254,62 @@ def test_discriminator_r1_grad():
     val, grads = jax.value_and_grad(r1)(p, img)
     assert np.isfinite(float(val)) and float(val) > 0
     assert float(jnp.abs(grads["b16"]["conv0"]["weight"]).sum()) > 0
+
+
+# ---------------------------------------------------------------------------
+# learnable_param / vanilla / depth2alpha variants
+# ---------------------------------------------------------------------------
+
+
+def test_learnable_param_variant_and_plane_interp():
+    from gmpi_tpu.core.geometry import plane_interp_weights
+    from gmpi_tpu.models.generator import SynthesisNetworkCfg as SNC
+
+    cfg = GeneratorCfg(
+        z_dim=64, w_dim=64, img_resolution=16,
+        synthesis=SNC(w_dim=64, img_resolution=16, channel_base=1024, channel_max=64,
+                      conv_clamp=None, gen_alpha_largest_res=16,
+                      embed_func="learnable_param", n_planes_train=6),
+    )
+    params, buffers = cfg.init(jax.random.key(0))
+    assert params["synthesis"]["b16"]["pos_enc_embed_learnable_param"].shape == (1, 6, 64, 1, 1)
+    geom = tiny_geometry(6)
+    xyz = geom_mod.multi_res_xyz(geom, 16)
+    z = jax.random.normal(jax.random.key(1), (2, 64))
+    mpi = cfg.apply(params, buffers, z, None, xyz, 6, noise_mode="const")
+    assert mpi.shape == (2, 6, 4, 16, 16)
+
+    # eval-time plane-count change via token interpolation (6 -> 10)
+    ws_interp = plane_interp_weights(0.95, 1.12, 6, 10)
+    geom10 = tiny_geometry(10)
+    xyz10 = geom_mod.multi_res_xyz(geom10, 16)
+    mpi10 = cfg.apply(params, buffers, z, None, xyz10, 10, noise_mode="const",
+                      z_interpolation_ws=ws_interp)
+    assert mpi10.shape == (2, 10, 4, 16, 16)
+    assert np.isfinite(np.asarray(mpi10)).all()
+
+
+@pytest.mark.parametrize("head_type", ["vanilla", "depth2alpha"])
+def test_vanilla_family_variants(head_type):
+    from gmpi_tpu.models.generator_vanilla import VanillaGeneratorCfg
+
+    cfg = VanillaGeneratorCfg(
+        z_dim=64, w_dim=64, img_resolution=16, n_planes=5,
+        channel_base=1024, channel_max=64, conv_clamp=None, head_type=head_type,
+    )
+    params, buffers = cfg.init(jax.random.key(0))
+    geom = tiny_geometry(5)
+    xyz = geom_mod.multi_res_xyz(geom, 16)
+    z = jax.random.normal(jax.random.key(1), (2, 64))
+    mpi = cfg.apply(params, buffers, z, None, xyz, 5, noise_mode="const")
+    assert mpi.shape == (2, 5, 4, 16, 16)
+    m = np.asarray(mpi)
+    assert m.min() >= 0 and m.max() <= 1 + 1e-5
+    # shared foreground RGB + separate background
+    np.testing.assert_allclose(m[:, 0, :3], m[:, 2, :3], atol=1e-6)
+    assert not np.allclose(m[:, 0, :3], m[:, 4, :3], atol=1e-4)
+    np.testing.assert_allclose(m[:, -1, 3], 1.0, atol=1e-6)
+    if head_type == "depth2alpha":
+        # alphas must be monotone in plane depth for fixed predicted depth
+        diffs = np.diff(m[:2, :-1, 3].mean(axis=(2, 3)), axis=1)
+        assert (diffs >= -1e-5).all()
