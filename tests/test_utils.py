@@ -105,3 +105,46 @@ def test_renderer_physics_on_toy_scene():
     # depth map: red region near plane depth, elsewhere background depth
     assert abs(float(depth[2, 0, (r0 + r1) // 2, (c0 + c1) // 2]) - 0.95) < 0.02
     assert abs(float(depth[2, 0, 2, 2]) - 1.12) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# roofline + inspection
+# ---------------------------------------------------------------------------
+
+
+def test_roofline_accounting():
+    from gmpi_tpu.utils.roofline import TPU_V5E, attained, render_cost
+
+    cost = render_cost(1, 96, 1024, 1024, 1024, 1024, backward=True)
+    assert cost["bytes"] > 0 and cost["flops"] > 0
+    rep = attained(0.2, cost, TPU_V5E)
+    assert 0 < rep["sol_fraction"] < 1.5
+    assert rep["bound"] in ("memory", "compute")
+    # this workload is memory-bound on v5e
+    assert rep["bound"] == "memory"
+
+
+def test_param_summary_and_assert_shape():
+    from gmpi_tpu.utils.inspect import assert_shape, param_summary
+
+    tree = {"a": jnp.zeros((2, 3)), "b": {"c": jnp.zeros((4,))}}
+    rows, total = param_summary(tree)
+    assert total == 10 and len(rows) == 2
+    assert_shape(jnp.zeros((2, 5)), (2, None))
+    with pytest.raises(AssertionError):
+        assert_shape(jnp.zeros((2, 5)), (3, None))
+
+
+def test_replica_consistency_check():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gmpi_tpu.parallel.mesh import make_mesh
+    from gmpi_tpu.utils.inspect import check_replica_consistency
+
+    mesh = make_mesh([8], ("data",))
+    x = jax.device_put(jnp.ones((16, 4)), NamedSharding(mesh, P()))
+    check_replica_consistency({"w": x})  # replicated, identical -> ok
+
+    # sharded arrays are skipped (each shard holds different slices)
+    y = jax.device_put(jnp.arange(16.0).reshape(16, 1), NamedSharding(mesh, P("data")))
+    check_replica_consistency({"w": y})
