@@ -108,8 +108,11 @@ def _sample(rgba, grid, align_corners, tiled_bands):
     band_y, band_x = tiled_bands
     h, w = grid.shape[1], grid.shape[2]
     tile = (8 if h % 8 == 0 else 1, 128 if w % 128 == 0 else w)
+    # large images: scan over tile rows to bound live hat/patch memory
+    row_scan = (h // tile[0]) > 32
     return grid_sample_tiled(
-        rgba, grid, band_y=band_y, band_x=band_x, tile=tile, align_corners=align_corners
+        rgba, grid, band_y=band_y, band_x=band_x, tile=tile,
+        align_corners=align_corners, row_scan=row_scan,
     )
 
 

@@ -72,6 +72,34 @@ def required_bands(
     return spans[0], spans[1]
 
 
+def _warp_row_tiles(texl, fx_row, fy_row, band_y, band_x, pad_y, pad_x, h, w, c, tile_r, tile_c):
+    """Warp one row of tiles: fx/fy [N, ntx, tile_r, tile_c] -> [N, ntx, P, C]."""
+    n, ntx = fx_row.shape[0], fx_row.shape[1]
+    p_tile = tile_r * tile_c
+    y_lo = jnp.floor(jnp.min(fy_row, axis=(2, 3))).astype(jnp.int32) - 1  # [N, ntx]
+    x_lo = jnp.floor(jnp.min(fx_row, axis=(2, 3))).astype(jnp.int32) - 1
+    y_lo_c = jnp.clip(y_lo + pad_y, 0, h + 2 * pad_y - band_y)
+    x_lo_c = jnp.clip(x_lo + pad_x, 0, w + 2 * pad_x - band_x)
+
+    def slice_patch(tl, yl, xl):
+        return lax.dynamic_slice(tl, (yl, xl, 0), (band_y, band_x, c))
+
+    patches = jax.vmap(jax.vmap(slice_patch, in_axes=(None, 0, 0)))(texl, y_lo_c, x_lo_c)
+    # [N, ntx, B_y, B_x, C]
+
+    ty_rel = fy_row.reshape(n, ntx, p_tile, 1) - (y_lo_c - pad_y).astype(fy_row.dtype)[..., None, None]
+    tx_rel = fx_row.reshape(n, ntx, p_tile, 1) - (x_lo_c - pad_x).astype(fx_row.dtype)[..., None, None]
+    iy = lax.broadcasted_iota(fy_row.dtype, (1, 1, 1, band_y), 3)
+    ix = lax.broadcasted_iota(fx_row.dtype, (1, 1, 1, band_x), 3)
+    hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(ty_rel - iy))  # [N, ntx, P, B_y]
+    hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(tx_rel - ix))  # [N, ntx, P, B_x]
+
+    pm = patches.transpose(0, 1, 3, 2, 4).reshape(n, ntx, band_x, band_y * c)
+    mixed = jnp.einsum("...px,...xm->...pm", hat_x, pm)  # [N, ntx, P, B_y*C]
+    mixed = mixed.reshape(n, ntx, p_tile, band_y, c)
+    return jnp.einsum("...py,...pyc->...pc", hat_y, mixed)  # [N, ntx, P, C]
+
+
 def grid_sample_tiled(
     tex: jnp.ndarray,  # [N, C, H, W]
     grid: jnp.ndarray,  # [N, Ho, Wo, 2]
@@ -79,12 +107,16 @@ def grid_sample_tiled(
     band_x: int = 160,
     tile: Tuple[int, int] = (8, 128),
     align_corners: bool = True,
+    row_scan: bool = False,
 ) -> jnp.ndarray:
     """Bilinear sample with zeros padding; returns [N, C, Ho, Wo].
 
     ``band_y``/``band_x`` must cover each tile's source span (see
     :func:`required_bands`); generous defaults suit the GMPI camera ranges at
-    tex_size == img_size.
+    tex_size == img_size.  ``row_scan=True`` processes tile rows through a
+    ``lax.scan`` — same results, O(ntx) live memory instead of O(nty*ntx)
+    (required at 1024²+ where the hat matrices would otherwise reach tens of
+    GB).
     """
     n, c, h, w = tex.shape
     _, ho, wo, _ = grid.shape
@@ -99,34 +131,22 @@ def grid_sample_tiled(
         ((0, 0), (pad_y, pad_y), (pad_x, pad_x), (0, 0)),
     )  # [N, H+2py, W+2px, C]
 
-    # per-tile band starts (texture coords, clamped into padded extent)
-    y_lo = jnp.floor(jnp.min(fy_t, axis=(3, 4))).astype(jnp.int32) - 1  # [N, nty, ntx]
-    x_lo = jnp.floor(jnp.min(fx_t, axis=(3, 4))).astype(jnp.int32) - 1
-    y_lo_c = jnp.clip(y_lo + pad_y, 0, h + 2 * pad_y - band_y)
-    x_lo_c = jnp.clip(x_lo + pad_x, 0, w + 2 * pad_x - band_x)
+    args = (band_y, band_x, pad_y, pad_x, h, w, c, tile_r, tile_c)
+    if row_scan:
+        fx_s = fx_t.swapaxes(0, 1)  # [nty, N, ntx, tr, tc]
+        fy_s = fy_t.swapaxes(0, 1)
 
-    def slice_patch(tl, yl, xl):
-        return lax.dynamic_slice(tl, (yl, xl, 0), (band_y, band_x, c))
+        def body(_, xs):
+            fx_row, fy_row = xs
+            return None, _warp_row_tiles(texl, fx_row, fy_row, *args)
 
-    patches = jax.vmap(  # over N
-        jax.vmap(  # over nty
-            jax.vmap(slice_patch, in_axes=(None, 0, 0)), in_axes=(None, 0, 0)
-        )
-    )(texl, y_lo_c, x_lo_c)  # [N, nty, ntx, B_y, B_x, C]
-
-    # hat weights against the (unclamped) band origin
-    ty_rel = fy_t.reshape(n, nty, ntx, p_tile, 1) - (y_lo_c - pad_y).astype(fy_t.dtype)[..., None, None]
-    tx_rel = fx_t.reshape(n, nty, ntx, p_tile, 1) - (x_lo_c - pad_x).astype(fx_t.dtype)[..., None, None]
-    iy = lax.broadcasted_iota(tex.dtype, (1, 1, 1, 1, band_y), 4)
-    ix = lax.broadcasted_iota(tex.dtype, (1, 1, 1, 1, band_x), 4)
-    hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(ty_rel - iy))  # [N, nty, ntx, P, B_y]
-    hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(tx_rel - ix))  # [N, nty, ntx, P, B_x]
-
-    # x-mix on MXU: [.., P, B_x] @ [.., B_x, B_y*C]
-    pm = patches.transpose(0, 1, 2, 4, 3, 5).reshape(n, nty, ntx, band_x, band_y * c)
-    mixed = jnp.einsum("...px,...xm->...pm", hat_x, pm)  # [N, nty, ntx, P, B_y*C]
-    mixed = mixed.reshape(n, nty, ntx, p_tile, band_y, c)
-    out = jnp.einsum("...py,...pyc->...pc", hat_y, mixed)  # [N, nty, ntx, P, C]
+        _, out = lax.scan(body, None, (fx_s, fy_s))  # [nty, N, ntx, P, C]
+        out = out.swapaxes(0, 1)  # [N, nty, ntx, P, C]
+    else:
+        out = jax.vmap(
+            lambda fx_row, fy_row: _warp_row_tiles(texl, fx_row, fy_row, *args),
+            in_axes=(1, 1), out_axes=1,
+        )(fx_t, fy_t)  # [N, nty, ntx, P, C]
 
     out = out.reshape(n, nty, ntx, tile_r, tile_c, c)
     out = out.transpose(0, 5, 1, 3, 2, 4).reshape(n, c, ho, wo)

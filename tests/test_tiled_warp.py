@@ -83,3 +83,19 @@ def test_tiled_zero_padding_out_of_range():
     grid = jnp.full((1, 8, 128, 2), 3.0, jnp.float32)  # way outside
     out = grid_sample_tiled(tex, grid, band_y=16, band_x=64, tile=(8, 128))
     np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_row_scan_matches_vectorized():
+    rng = np.random.default_rng(4)
+    grid = _homography_grids(n_views=1, n_planes=4, img=64)
+    n = grid.shape[0]
+    tex = jnp.asarray(rng.random((n, 4, 64, 64)).astype(np.float32))
+    by, bx = required_bands(tex.shape, grid, tile=(8, 64))
+    a = grid_sample_tiled(tex, grid, by, bx, tile=(8, 64), row_scan=False)
+    b = grid_sample_tiled(tex, grid, by, bx, tile=(8, 64), row_scan=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-6)
+    # and gradients
+    cot = jnp.asarray(rng.standard_normal(a.shape).astype(np.float32))
+    ga = jax.grad(lambda t: jnp.sum(grid_sample_tiled(t, grid, by, bx, tile=(8, 64)) * cot))(tex)
+    gb = jax.grad(lambda t: jnp.sum(grid_sample_tiled(t, grid, by, bx, tile=(8, 64), row_scan=True) * cot))(tex)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-5, atol=1e-5)
