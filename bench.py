@@ -77,7 +77,7 @@ def main():
         # in-graph iteration: amortizes host<->device round-trip overhead
         def body(i, acc):
             g = grad_fn(x + acc * 0.0)
-            return acc + g[0, 0, 0, 0]
+            return acc + g.ravel()[0]
         return jax.lax.fori_loop(0, INNER_ITERS, body, jnp.zeros((), jnp.float32))
 
     float(np.asarray(bench_step(rgba)))  # compile + sync

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Evaluation orchestrator — the ``gmpi/eval/eval.sh`` analogue.
+
+Tasks: prepare_real | prepare_fake | fid_kid | consistency | geometry.
+
+    python eval_gmpi.py --task prepare_fake --dataset FFHQ256 \
+        --ckpt runs/ffhq256/checkpoints --out eval_out --n_imgs 2048
+    python eval_gmpi.py --task fid_kid --real_dir eval_real --fake_dir eval_out/rgb \
+        --inception_weights pt_inception.pth
+
+FID/KID need local InceptionV3 weights; identity consistency and pose
+estimation require external models (ArcFace / Deep3DFace), exactly as in the
+reference (separate conda envs, ``eval.sh:58-62``) — pass hooks via
+``--embedder_module`` exposing ``embed(image_hwc_uint8) -> vector``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_generator(args):
+    import numpy as np
+
+    import jax
+
+    from gmpi_tpu.config import get_config
+    from gmpi_tpu.eval.harness import FakeImageGenerator
+    from gmpi_tpu.train.checkpoint import load_checkpoint
+    from gmpi_tpu.train.step import init_train_state
+
+    cfg = get_config(args.dataset)
+    state = init_train_state(cfg, jax.random.key(0))
+    state = load_checkpoint(args.ckpt, state)
+    params = state.ema if args.use_ema else state.params_g
+    return cfg, FakeImageGenerator(
+        cfg, params, state.buffers_g,
+        n_planes=args.n_planes, img_size=args.img_size,
+        chunk_n_planes=args.chunk_n_planes, truncation_psi=args.truncation_psi,
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", required=True,
+                   choices=["prepare_real", "prepare_fake", "fid_kid", "consistency", "geometry"])
+    p.add_argument("--dataset", default="FFHQ256")
+    p.add_argument("--ckpt", default=None, help="checkpoint dir (with 'latest')")
+    p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--out", default="eval_out")
+    p.add_argument("--n_imgs", type=int, default=2048)
+    p.add_argument("--n_planes", type=int, default=96)
+    p.add_argument("--img_size", type=int, default=None)
+    p.add_argument("--chunk_n_planes", type=int, default=-1)
+    p.add_argument("--truncation_psi", type=float, default=1.0)
+    # prepare_real
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--pose_root", default=None)
+    # fid_kid
+    p.add_argument("--real_dir", default=None)
+    p.add_argument("--fake_dir", default=None)
+    p.add_argument("--inception_weights", default=None)
+    # consistency
+    p.add_argument("--embedder_module", default=None,
+                   help="python module exposing embed(img_hwc_uint8) -> np.ndarray")
+    args = p.parse_args()
+
+    if args.task == "prepare_real":
+        from gmpi_tpu.config import get_config
+        from gmpi_tpu.data import get_dataset
+        from gmpi_tpu.eval.harness import prepare_real_images
+
+        cfg = get_config(args.dataset)
+        name = "FFHQ" if args.dataset.startswith("FFHQ") else args.dataset
+        ds = get_dataset(
+            name, dataset_path=args.data_root, raw_img_size=cfg.resolution,
+            img_size=args.img_size or cfg.resolution, pose_data_path=args.pose_root,
+            sphere_center=cfg.camera.sphere_center_z, sphere_r=cfg.camera.sphere_r,
+            flat_pose_dim=cfg.train.d_cond_pose_dim,
+        )
+        n = prepare_real_images(ds, args.out, args.n_imgs)
+        print(f"wrote {n} real images to {args.out}")
+
+    elif args.task in ("prepare_fake", "consistency_prep", "geometry"):
+        from gmpi_tpu.eval.harness import prepare_fake_images
+
+        cfg, gen = build_generator(args)
+        task = "geometry" if args.task == "geometry" else "fid_kid"
+        if args.img_size is None and task == "geometry":
+            pass  # reference renders geometry at 224² for Deep3DFace
+        prepare_fake_images(gen, args.out, args.n_imgs, task=task)
+        print(f"wrote {args.n_imgs} fake images ({task}) to {args.out}")
+
+    elif args.task == "fid_kid":
+        from gmpi_tpu.eval.harness import compute_fid_kid_dirs
+        from gmpi_tpu.eval.inception import load_params, make_feature_fn
+
+        assert args.inception_weights, "FID needs local InceptionV3 weights"
+        feature_fn = make_feature_fn(load_params(args.inception_weights))
+        metrics = compute_fid_kid_dirs(args.real_dir, args.fake_dir, feature_fn)
+        os.makedirs(args.out, exist_ok=True)
+        with open(os.path.join(args.out, "fid_kid.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(json.dumps(metrics))
+
+    elif args.task == "consistency":
+        import importlib
+
+        from gmpi_tpu.eval.harness import compute_consistency_dir, prepare_fake_images
+
+        cfg, gen = build_generator(args)
+        prepare_fake_images(gen, args.out, args.n_imgs, task="consistency")
+        assert args.embedder_module, "consistency needs a face-embedding module"
+        mod = importlib.import_module(args.embedder_module)
+        metrics = compute_consistency_dir(args.out, args.n_imgs, mod.embed)
+        with open(os.path.join(args.out, "consistency.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,11 +26,17 @@ def main():
     p.add_argument("--warm_start", default=None,
                    help=".npz state dict (reference naming) to warm start G from")
     p.add_argument("--no_resume", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (multi-host pod slice)")
     args = p.parse_args()
 
     import numpy as np
 
     import jax
+
+    if args.multihost:
+        # coordinator/process env comes from the TPU pod runtime
+        jax.distributed.initialize()
 
     from gmpi_tpu.config import get_config
     from gmpi_tpu.data import ShardedLoader, get_dataset
