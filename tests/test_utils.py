@@ -148,3 +148,42 @@ def test_replica_consistency_check():
     # sharded arrays are skipped (each shard holds different slices)
     y = jax.device_put(jnp.arange(16.0).reshape(16, 1), NamedSharding(mesh, P("data")))
     check_replica_consistency({"w": y})
+
+
+def test_registry():
+    from gmpi_tpu.utils.registry import Registry
+
+    reg = Registry()
+
+    @reg.register("model", "foo")
+    def foo():
+        return 42
+
+    assert reg.get("model", "foo")() == 42
+    assert reg.list("model") == ["foo"]
+    with pytest.raises(KeyError):
+        reg.get("model", "bar")
+
+
+def test_preprocess_landmarks_and_xflip(tmp_path):
+    from PIL import Image
+
+    from gmpi_tpu.data.preprocess import prepare_landmarks, xflip_augment_folder
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(src / f"i{i}.png")
+
+    n = xflip_augment_folder(str(src), str(tmp_path / "flipped"))
+    assert n == 6
+
+    def detect(arr):
+        if arr[0, 0, 0] % 2 == 0:
+            return np.ones((5, 2)) * 3.0
+        return None
+
+    ok, failed = prepare_landmarks(str(src), str(tmp_path / "lm"), detect)
+    assert ok + failed == 3
+    assert (tmp_path / "lm" / "fail_list.txt").exists()
