@@ -1,0 +1,76 @@
+"""Static warp-band estimation for the tile-banded MXU warp.
+
+The tiled warp needs compile-time band sizes covering each output tile's
+texture-coordinate span (``ops/tiled_warp.required_bands``).  Spans depend on
+the camera pose; for a truncated pose distribution the worst case is at the
+corners of the (yaw, pitch) range, so sampling extreme + center poses once at
+setup gives safe static bands for every training/eval render under that
+distribution.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gmpi_tpu.core import camera as cam
+from gmpi_tpu.core import poses as poses_mod
+from gmpi_tpu.core.geometry import PlaneGeometry
+from gmpi_tpu.core.renderer import homography_grid
+from gmpi_tpu.ops.tiled_warp import required_bands
+
+
+def _round_up(x: int, m: int = 8) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def estimate_bands(
+    geom: PlaneGeometry,
+    camera_cfg: poses_mod.SphereCameraConfig,
+    fov_deg: float,
+    img_h: int,
+    img_w: int,
+    margin: float = 1.15,
+    tile: Optional[Tuple[int, int]] = None,
+) -> Tuple[int, int]:
+    """Safe (band_y, band_x) for all poses within ±n_truncated_stds."""
+    c = camera_cfg
+    n = c.n_truncated_stds
+    yaws, pitches = [], []
+    for sy in (-n, 0.0, n):
+        for sp in (-n, 0.0, n):
+            yaws.append(c.yaw_mean + sy * c.yaw_std)
+            pitches.append(c.pitch_mean + sp * c.pitch_std)
+    yaws = jnp.asarray(yaws, jnp.float32).reshape(-1, 1)
+    pitches = jnp.asarray(pitches, jnp.float32).reshape(-1, 1)
+    c2w, _, _ = poses_mod.sample_sphere_poses(None, len(yaws), c, yaws, pitches)
+    intr = cam.intrinsics_from_fov(fov_deg, img_h, img_w)
+    ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+
+    v = c2w.shape[0]
+    l = geom.n_planes
+    dhw = jnp.broadcast_to(geom.dhw[None], (v, l, 3)).reshape(v * l, 3)
+    ray = jnp.broadcast_to(ray_dir[:, None], (v, l, 3, img_h, img_w)).reshape(v * l, 3, img_h, img_w)
+    eye_f = jnp.broadcast_to(eye[:, None], (v, l, 3)).reshape(v * l, 3)
+    z_f = jnp.broadcast_to(z_dir[:, None], (v, l, 3)).reshape(v * l, 3)
+    grid, _ = homography_grid(dhw, eye_f, ray, z_f)
+    if tile is None:
+        tile = (8 if img_h % 8 == 0 else 1, 128 if img_w % 128 == 0 else img_w)
+    tex_shape = (v * l, 4, geom.dhw.shape[0] and img_h, img_w)  # tex assumed img-sized
+    by, bx = required_bands((v * l, 4, img_h, img_w), grid, tile=tile)
+    return _round_up(int(np.ceil(by * margin))), _round_up(int(np.ceil(bx * margin)))
+
+
+def bands_for_config(cfg, img_size: Optional[int] = None, n_planes: Optional[int] = None):
+    """(band_y, band_x) for an ``ExperimentConfig``, or None when the image is
+    too small for tiling to pay off."""
+    import dataclasses
+
+    img = img_size or cfg.hparams.img_size
+    if img < 128:
+        return None
+    planes = dataclasses.replace(cfg.planes, n_planes=n_planes or cfg.planes.n_planes)
+    geom = dataclasses.replace(cfg, planes=planes).plane_geometry()
+    return estimate_bands(geom, cfg.camera, cfg.fov_deg, img, img)

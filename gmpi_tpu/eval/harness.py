@@ -88,12 +88,17 @@ class FakeImageGenerator:
         self.xyz_dict = geom_mod.multi_res_xyz(self.geom, cfg.hparams.tex_size)
         self.intr = cam.intrinsics_from_fov(cfg.fov_deg, self.img_size, self.img_size)
 
+        from gmpi_tpu.core.bands import bands_for_config
+
+        tiled_bands = bands_for_config(cfg, img_size=self.img_size, n_planes=self.n_planes)
+
         def _render(mpi, yaws, pitches):
             c2w, _, _ = poses_mod.sample_sphere_poses(
                 None, mpi.shape[0], cfg.camera, given_yaws=yaws, given_pitches=pitches
             )
             ray_dir, eye, z_dir = cam.generate_rays(self.intr, c2w)
-            out = render_mpi(mpi, self.geom.dhw, ray_dir, eye, z_dir, cfg.planes.align_corners)
+            out = render_mpi(mpi, self.geom.dhw, ray_dir, eye, z_dir, cfg.planes.align_corners,
+                             tiled_bands=tiled_bands)
             return out.color * 2.0 - 1.0, out.depth
 
         self._render = jax.jit(_render)

@@ -87,8 +87,8 @@ def _kernel(
     j0 = (tj * TILE_C).astype(jnp.float32)
 
     # --- per-tile ray field (plane-independent) ---------------------------
-    ii = lax.broadcasted_iota(jnp.float32, (TILE_R, TILE_C), 0) + i0
-    jj = lax.broadcasted_iota(jnp.float32, (TILE_R, TILE_C), 1) + j0
+    ii = lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 0).astype(jnp.float32) + i0
+    jj = lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 1).astype(jnp.float32) + j0
     rx = A0 * jj + B0 * ii + C0
     ry = A1 * jj + B1 * ii + C1
     rz = A2 * jj + B2 * ii + C2
@@ -154,8 +154,8 @@ def _kernel(
         p = TILE_R * TILE_C
         fxf = fx_rel.reshape(p, 1)
         fyf = fy_rel.reshape(p, 1)
-        ix = lax.broadcasted_iota(jnp.float32, (p, band_x), 1)
-        iy = lax.broadcasted_iota(jnp.float32, (p, band_y), 1)
+        ix = lax.broadcasted_iota(jnp.int32, (p, band_x), 1).astype(jnp.float32)
+        iy = lax.broadcasted_iota(jnp.int32, (p, band_y), 1).astype(jnp.float32)
         hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(fxf - ix))  # [P, Bx]
         hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(fyf - iy))  # [P, By]
 

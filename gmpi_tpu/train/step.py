@@ -132,6 +132,10 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
     xyz_last_plane = geom_mod.plane_xyz_grid(geom, cfg.hparams.tex_size, cfg.hparams.tex_size)[-1]
     opt_g, opt_d = make_optimizers(cfg)
     batch_split = cfg.hparams.batch_split
+    # static warp bands for the tile-banded MXU warp (None -> gather path)
+    from gmpi_tpu.core.bands import bands_for_config
+
+    tiled_bands = bands_for_config(cfg)
 
     def synth(params_g, buffers_g, z, rng, stop_all_grad=False):
         mpi = gen_cfg.apply(
@@ -156,7 +160,8 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
             None, mpi.shape[0], cfg.camera, given_yaws=yaws, given_pitches=pitches
         )
         ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
-        out = render_mpi(mpi, geom.dhw, ray_dir, eye, z_dir, align_corners)
+        out = render_mpi(mpi, geom.dhw, ray_dir, eye, z_dir, align_corners,
+                         tiled_bands=tiled_bands)
         imgs = out.color * 2.0 - 1.0  # ``mpi_renderer.py:467``
         flat_pose = flat_pose_from_c2w(c2w, t.d_cond_pose_dim) if t.d_cond_on_pose else None
         return imgs, flat_pose

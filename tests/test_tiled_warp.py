@@ -99,3 +99,16 @@ def test_row_scan_matches_vectorized():
     ga = jax.grad(lambda t: jnp.sum(grid_sample_tiled(t, grid, by, bx, tile=(8, 64)) * cot))(tex)
     gb = jax.grad(lambda t: jnp.sum(grid_sample_tiled(t, grid, by, bx, tile=(8, 64), row_scan=True) * cot))(tex)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-5, atol=1e-5)
+
+
+def test_bands_for_config():
+    from gmpi_tpu.config import get_config
+    from gmpi_tpu.core.bands import bands_for_config, estimate_bands
+
+    cfg = get_config("FFHQ256")
+    bands = bands_for_config(cfg)
+    assert bands is not None
+    by, bx = bands
+    assert 8 <= by <= 128 and 128 <= bx <= 512, (by, bx)
+    # small images skip tiling
+    assert bands_for_config(cfg, img_size=64) is None
