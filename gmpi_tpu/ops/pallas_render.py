@@ -17,6 +17,13 @@ Reference semantics: ``gmpi/core/mpi.py:26-153`` (homography + bilinear,
 zeros padding, align_corners=True) and ``:421-434`` (cumprod compositing,
 eps 1e-10).
 
+Mosaic layout notes: every tensor lives in a (P, lanes) layout (P = pixels of
+one tile) — Mosaic does not support minor-dim reshapes like (8,128)->(1024,1),
+so pixel indices come from integer iota div/mod, the texture is pre-fused to
+``[V, L, Wp, Hp*C]`` (x-major, (y, c) interleaved in lanes) so patches arrive
+DMA-ready as ``[Bx, By*C]`` matmul operands, and the y-mix uses lane-masked
+reductions instead of a reshape.
+
 Forward-only for now — backward runs through the XLA tiled path.  TPU Pallas
 grids execute sequentially per core, so there are no inter-tile races.
 """
@@ -35,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 COMPOSITE_EPS = 1e-10
 
-# default output tile (overridable per call; TILE_C shrinks for small images)
+# default output tile (TILE_C shrinks for small images)
 TILE_R = 8
 TILE_C = 128
 
@@ -58,10 +65,10 @@ def _ray_basis(focal: float, img_h: int, img_w: int, c2w: jnp.ndarray):
 def _kernel(
     view_ref,  # scalar prefetch [V, 15] fp32 (SMEM)
     plane_ref,  # scalar prefetch [L, 3] fp32 (SMEM)
-    tex_ref,  # [V, L, Hp, Wp, 4] fp32 (ANY — manual DMA)
-    color_ref,  # out tile [1, TILE_R, TILE_C, 3]
-    depth_ref,  # out tile [1, TILE_R, TILE_C, 1]
-    patch_buf,  # VMEM scratch [2, By, Bx, 4]
+    tex_ref,  # [V, L, Wp, Hp*4] fp32 (ANY — manual DMA; x-major fused layout)
+    color_ref,  # out block [1, 1, 1, P, 3]
+    depth_ref,  # out block [1, 1, 1, P, 1]
+    patch_buf,  # VMEM scratch [2, Bx, By*4]
     sems,  # DMA semaphores (2,)
     *,
     n_planes: int,
@@ -72,7 +79,6 @@ def _kernel(
     tile_r: int,
     tile_c: int,
 ):
-    TILE_R, TILE_C = tile_r, tile_c
     v = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -83,12 +89,14 @@ def _kernel(
     ex, ey, ez = view_ref[v, 9], view_ref[v, 10], view_ref[v, 11]
     zx, zy, zz = view_ref[v, 12], view_ref[v, 13], view_ref[v, 14]
 
-    i0 = (ti * TILE_R).astype(jnp.float32)
-    j0 = (tj * TILE_C).astype(jnp.float32)
+    i0 = (ti * tile_r).astype(jnp.float32)
+    j0 = (tj * tile_c).astype(jnp.float32)
+    p = tile_r * tile_c
 
-    # --- per-tile ray field (plane-independent) ---------------------------
-    ii = lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 0).astype(jnp.float32) + i0
-    jj = lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 1).astype(jnp.float32) + j0
+    # --- per-tile ray field in (P, 1) layout ------------------------------
+    pidx = lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    ii = (pidx // tile_c).astype(jnp.float32) + i0
+    jj = (pidx % tile_c).astype(jnp.float32) + j0
     rx = A0 * jj + B0 * ii + C0
     ry = A1 * jj + B1 * ii + C1
     rz = A2 * jj + B2 * ii + C2
@@ -102,7 +110,7 @@ def _kernel(
         pw = plane_ref[l, 2]
         fx_min = jnp.float32(np.inf)
         fy_min = jnp.float32(np.inf)
-        for (ci, cj) in ((0.0, 0.0), (0.0, TILE_C - 1.0), (TILE_R - 1.0, 0.0), (TILE_R - 1.0, TILE_C - 1.0)):
+        for (ci, cj) in ((0.0, 0.0), (0.0, tile_c - 1.0), (tile_r - 1.0, 0.0), (tile_r - 1.0, tile_c - 1.0)):
             cjj = j0 + cj
             cii = i0 + ci
             crx = A0 * cjj + B0 * cii + C0
@@ -115,19 +123,29 @@ def _kernel(
             fy_min = jnp.minimum(fy_min, fy)
         y_lo = jnp.floor(fy_min).astype(jnp.int32) - 1 + band_y
         x_lo = jnp.floor(fx_min).astype(jnp.int32) - 1 + band_x
-        y_lo = jnp.clip(y_lo, 0, tex_h + band_y)
-        x_lo = jnp.clip(x_lo, 0, tex_w + band_x)
+        # HBM DMA slices must be tile-aligned: lanes (y*4) to 128 -> y to 32;
+        # sublanes (x) to 8.  Bands carry the alignment slack.
+        y_lo = (y_lo // 32) * 32
+        x_lo = (x_lo // 8) * 8
+        y_lo = jnp.clip(y_lo, 0, ((tex_h + band_y) // 32) * 32)
+        x_lo = jnp.clip(x_lo, 0, ((tex_w + band_x) // 8) * 8)
         return y_lo, x_lo
 
     def dma(slot, l, y_lo, x_lo):
+        # fused layout: lanes are (y, c) pairs -> y slice scales by 4
         return pltpu.make_async_copy(
-            tex_ref.at[v, l, pl.ds(y_lo, band_y), pl.ds(x_lo, band_x), :],
+            tex_ref.at[v, l, pl.ds(x_lo, band_x), pl.ds(y_lo * 4, band_y * 4)],
             patch_buf.at[slot],
             sems.at[slot],
         )
 
     y0_, x0_ = band_start(0)
     dma(0, 0, y0_, x0_).start()
+
+    lane4 = lax.broadcasted_iota(jnp.int32, (p, band_y * 4), 1)
+    y_of_lane = (lane4 // 4).astype(jnp.float32)
+    c_of_lane = lane4 % 4
+    ix = lax.broadcasted_iota(jnp.int32, (p, band_x), 1).astype(jnp.float32)
 
     def body(l, carry):
         color, depth_acc, trans, y_lo, x_lo = carry
@@ -140,33 +158,30 @@ def _kernel(
             dma((l + 1) % 2, l + 1, ny, nx).start()
 
         dma(slot, l, y_lo, x_lo).wait()
-        patch = patch_buf[slot]  # [By, Bx, 4]
+        patch = patch_buf[slot]  # [Bx, By*4]
 
         d = plane_ref[l, 0]
         ph = plane_ref[l, 1]
         pw = plane_ref[l, 2]
-        sd = (d - ez) * inv_rz
+        sd = (d - ez) * inv_rz  # (P, 1)
         fx = ((ex + rx * sd) / pw + 0.5) * (tex_w - 1)
         fy = ((ey + ry * sd) / ph + 0.5) * (tex_h - 1)
-        fx_rel = fx - (x_lo - band_x).astype(jnp.float32)
+        fx_rel = fx - (x_lo - band_x).astype(jnp.float32)  # (P, 1)
         fy_rel = fy - (y_lo - band_y).astype(jnp.float32)
 
-        p = TILE_R * TILE_C
-        fxf = fx_rel.reshape(p, 1)
-        fyf = fy_rel.reshape(p, 1)
-        ix = lax.broadcasted_iota(jnp.int32, (p, band_x), 1).astype(jnp.float32)
-        iy = lax.broadcasted_iota(jnp.int32, (p, band_y), 1).astype(jnp.float32)
-        hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(fxf - ix))  # [P, Bx]
-        hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(fyf - iy))  # [P, By]
+        hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(fx_rel - ix))  # (P, Bx)
+        mixed = jnp.dot(hat_x, patch, preferred_element_type=jnp.float32)  # (P, By*4)
 
-        pm = patch.transpose(1, 0, 2).reshape(band_x, band_y * 4)
-        mixed = jnp.dot(hat_x, pm, preferred_element_type=jnp.float32)  # [P, By*4]
-        mixed = mixed.reshape(p, band_y, 4)
-        sample = jnp.sum(hat_y[:, :, None] * mixed, axis=1)  # [P, 4]
+        # y-mix via lane-masked reductions (no reshape): lane = y*4 + c
+        hat_y4 = jnp.maximum(0.0, 1.0 - jnp.abs(fy_rel - y_of_lane))  # (P, By*4)
+        prod = mixed * hat_y4
+        r = jnp.sum(jnp.where(c_of_lane == 0, prod, 0.0), axis=1, keepdims=True)
+        g = jnp.sum(jnp.where(c_of_lane == 1, prod, 0.0), axis=1, keepdims=True)
+        b = jnp.sum(jnp.where(c_of_lane == 2, prod, 0.0), axis=1, keepdims=True)
+        alpha = jnp.sum(jnp.where(c_of_lane == 3, prod, 0.0), axis=1, keepdims=True)
+        rgb = jnp.concatenate([r, g, b], axis=1)  # (P, 3)
 
-        rgb = sample[:, :3].reshape(TILE_R, TILE_C, 3)
-        alpha = sample[:, 3].reshape(TILE_R, TILE_C, 1)
-        depth_pix = (sd * rdotz)[..., None]
+        depth_pix = sd * rdotz  # (P, 1)
 
         w = trans * alpha
         color = color + w * rgb
@@ -175,15 +190,15 @@ def _kernel(
         return color, depth_acc, trans, ny, nx
 
     init = (
-        jnp.zeros((TILE_R, TILE_C, 3), jnp.float32),
-        jnp.zeros((TILE_R, TILE_C, 1), jnp.float32),
-        jnp.ones((TILE_R, TILE_C, 1), jnp.float32),
+        jnp.zeros((p, 3), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),
+        jnp.ones((p, 1), jnp.float32),
         y0_,
         x0_,
     )
     color, depth_acc, _, _, _ = lax.fori_loop(0, n_planes, body, init)
-    color_ref[0] = color
-    depth_ref[0] = depth_acc
+    color_ref[0, 0, 0] = color
+    depth_ref[0, 0, 0] = depth_acc
 
 
 def render_mpi_fused_fwd(
@@ -194,26 +209,34 @@ def render_mpi_fused_fwd(
     focal: float,
     img_h: int,
     img_w: int,
-    band_y: int = 32,
-    band_x: int = 192,
+    band_y: int = 64,
+    band_x: int = 200,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused forward render -> (color [V,3,H,W] in [0,1], depth [V,1,H,W])."""
+    """Fused forward render -> (color [V,3,H,W] in [0,1], depth [V,1,H,W]).
+
+    ``band_y`` must be a multiple of 32 and ``band_x`` of 8 (HBM tile
+    alignment), and both must cover the per-tile source span PLUS the
+    alignment slack (band_start aligns down by up to 31 rows / 7 cols)."""
+    assert band_y % 32 == 0 and band_x % 8 == 0, (band_y, band_x)
     v, l, _, th, tw = rgba.shape
     tile_r = TILE_R if img_h % TILE_R == 0 else 1
     tile_c = TILE_C if img_w % TILE_C == 0 else img_w
     nty, ntx = img_h // tile_r, img_w // tile_c
+    p = tile_r * tile_c
 
     a, b, c = _ray_basis(focal, img_h, img_w, c2w)
     eye = c2w[:, :3, 3]
     view_scalars = jnp.concatenate([a, b, c, eye, z_dir], axis=1).astype(jnp.float32)
     plane_scalars = dhw.astype(jnp.float32)
 
-    # channels-last zero-padded texture for banded DMA
+    # x-major fused texture: [V, L, Wp, Hp*4] with lanes = (y, c) interleaved,
+    # zero-padded by the band on each side
     texl = jnp.pad(
-        rgba.transpose(0, 1, 3, 4, 2),
-        ((0, 0), (0, 0), (band_y, band_y), (band_x, band_x), (0, 0)),
+        rgba.transpose(0, 1, 4, 3, 2),  # [V, L, Tw, Th, 4]
+        ((0, 0), (0, 0), (band_x, band_x), (band_y, band_y), (0, 0)),
     ).astype(jnp.float32)
+    texl = texl.reshape(v, l, tw + 2 * band_x, (th + 2 * band_y) * 4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -222,11 +245,11 @@ def render_mpi_fused_fwd(
             pl.BlockSpec(memory_space=pltpu.ANY),  # texture (manual DMA)
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_r, tile_c, 3), lambda vi, ti, tj, *_: (vi, ti, tj, 0)),
-            pl.BlockSpec((1, tile_r, tile_c, 1), lambda vi, ti, tj, *_: (vi, ti, tj, 0)),
+            pl.BlockSpec((1, 1, 1, p, 3), lambda vi, ti, tj, *_: (vi, ti, tj, 0, 0)),
+            pl.BlockSpec((1, 1, 1, p, 1), lambda vi, ti, tj, *_: (vi, ti, tj, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, band_y, band_x, 4), jnp.float32),
+            pltpu.VMEM((2, band_x, band_y * 4), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -239,9 +262,14 @@ def render_mpi_fused_fwd(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((v, img_h, img_w, 3), jnp.float32),
-            jax.ShapeDtypeStruct((v, img_h, img_w, 1), jnp.float32),
+            jax.ShapeDtypeStruct((v, nty, ntx, p, 3), jnp.float32),
+            jax.ShapeDtypeStruct((v, nty, ntx, p, 1), jnp.float32),
         ],
         interpret=interpret,
     )(view_scalars, plane_scalars, texl)
-    return color.transpose(0, 3, 1, 2), depth.transpose(0, 3, 1, 2)
+
+    def unpack(x, ch):
+        x = x.reshape(v, nty, ntx, tile_r, tile_c, ch)
+        return x.transpose(0, 5, 1, 3, 2, 4).reshape(v, ch, img_h, img_w)
+
+    return unpack(color, 3), unpack(depth, 1)

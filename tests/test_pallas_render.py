@@ -39,7 +39,7 @@ def test_fused_kernel_matches_renderer():
     ref = render_mpi(rgba, geom.dhw, ray_dir, eye, z_dir)
     color, depth = render_mpi_fused_fwd(
         rgba, geom.dhw, c2w, z_dir, intr.focal, 64, 64,
-        band_y=24, band_x=96, interpret=True,
+        band_y=64, band_x=104, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth), rtol=1e-4, atol=1e-4)
@@ -52,6 +52,6 @@ def test_fused_kernel_toy_scene_occlusion():
     ref = render_mpi(mpi, geom.dhw, ray_dir[:1], eye[:1], z_dir[:1])
     color, depth = render_mpi_fused_fwd(
         mpi, geom.dhw, c2w[:1], z_dir[:1], intr.focal, 64, 64,
-        band_y=24, band_x=96, interpret=True,
+        band_y=64, band_x=104, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color), rtol=1e-4, atol=1e-4)
