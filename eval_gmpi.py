@@ -39,6 +39,7 @@ def build_generator(args):
         cfg, params, state.buffers_g,
         n_planes=args.n_planes, img_size=args.img_size,
         chunk_n_planes=args.chunk_n_planes, truncation_psi=args.truncation_psi,
+        sanity_full_alpha=getattr(args, "stylegan2_sanity_check", False),
     )
 
 
@@ -55,6 +56,9 @@ def main():
     p.add_argument("--img_size", type=int, default=None)
     p.add_argument("--chunk_n_planes", type=int, default=-1)
     p.add_argument("--truncation_psi", type=float, default=1.0)
+    p.add_argument("--stylegan2_sanity_check", action="store_true",
+                   help="force all alphas to 1 (validates renderer+eval plumbing "
+                        "against vanilla StyleGAN2; eval.sh:43-47)")
     # prepare_real
     p.add_argument("--data_root", default=None)
     p.add_argument("--pose_root", default=None)

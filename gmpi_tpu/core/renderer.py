@@ -159,6 +159,26 @@ def composite(
     return color, depth_out
 
 
+def composite_sequential(
+    rgb: jnp.ndarray,
+    alpha: jnp.ndarray,
+    depth: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Back-to-front sequential over-compositing — the numerical cross-check
+    the reference keeps as ``MPI.old_forward`` (``gmpi/core/mpi.py:218-306``):
+    ``out = rgb_l * a_l + out * (1 - a_l)`` from the farthest plane in.  Same
+    math as :func:`composite` up to fp reassociation; used as a test oracle.
+    """
+    v, l = rgb.shape[0], rgb.shape[1]
+    color = jnp.zeros_like(rgb[:, 0])
+    depth_out = jnp.zeros_like(depth[:, 0])
+    for i in range(l - 1, -1, -1):
+        a = alpha[:, i]
+        color = rgb[:, i] * a + color * (1.0 - a + COMPOSITE_EPS)
+        depth_out = depth[:, i] * a + depth_out * (1.0 - a + COMPOSITE_EPS)
+    return color, depth_out
+
+
 def composite_partial(
     rgb: jnp.ndarray,
     alpha: jnp.ndarray,

@@ -71,8 +71,16 @@ class FakeImageGenerator:
         img_size: Optional[int] = None,
         chunk_n_planes: int = -1,
         truncation_psi: float = 1.0,
+        sanity_full_alpha: bool = False,
     ):
+        """``sanity_full_alpha=True`` is the ``stylegan2_sanity_check`` mode
+        (``gmpi/eval/eval.sh:43-47``, ``prepare_fake_data.py:51-56``): force
+        every plane's alpha to 1 so the render collapses to the nearest
+        plane's shared RGB — with raw StyleGAN2 warm-start weights the FID
+        must match vanilla StyleGAN2, validating the renderer+eval plumbing
+        itself."""
         self.cfg = cfg
+        self.sanity_full_alpha = sanity_full_alpha
         self.gen_cfg = cfg.generator_cfg()
         self.params = params
         self.buffers = buffers
@@ -107,10 +115,13 @@ class FakeImageGenerator:
         key = jax.random.key(seed)
         kz, _ = jax.random.split(key)
         z = jax.random.normal(kz, (batch, self.cfg.train.z_dim), jnp.float32)
-        return generate_mpi(
+        mpi = generate_mpi(
             self.gen_cfg, self.params, self.buffers, z, self.xyz_dict, self.n_planes,
             chunk_n_planes=self.chunk, truncation_psi=self.psi, noise_mode="const",
         )
+        if self.sanity_full_alpha:
+            mpi = jnp.concatenate([mpi[:, :, :3], jnp.ones_like(mpi[:, :, 3:4])], axis=2)
+        return mpi
 
     def sample_views(self, seed: int, n_views: int):
         key = jax.random.fold_in(jax.random.key(seed), 17)

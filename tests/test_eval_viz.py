@@ -165,3 +165,28 @@ def test_inception_state_dict_converter():
     assert tree["Conv2d_1a_3x3"]["conv"]["weight"].shape == (32, 3, 3, 3)
     assert "num_batches_tracked" not in tree["Conv2d_1a_3x3"]["bn"]
     assert "fc" not in tree
+
+
+def test_sanity_full_alpha_mode():
+    """stylegan2_sanity_check: with all alphas forced to 1, the render equals
+    the nearest plane's RGB (over-compositing collapses at the first plane)."""
+    from gmpi_tpu.config import ExperimentConfig, ModelPreset, PlaneConfig, StepHparams, TrainHparams
+    from gmpi_tpu.core.poses import SphereCameraConfig
+    from gmpi_tpu.eval.harness import FakeImageGenerator
+
+    cfg = ExperimentConfig(
+        name="t", resolution=16, fov_deg=12.6,
+        camera=SphereCameraConfig(1.0, 1.0, 0.0, 0.289, 0.0, 0.127),
+        planes=PlaneConfig(n_planes=4, min_d=0.95, max_d=1.12),
+        hparams=StepHparams(2, 16, 16, 1, 2e-3, 2e-3),
+        train=TrainHparams(z_dim=32, w_dim=32),
+        model=ModelPreset(channel_base=512, channel_max=32, num_bf16_res=0,
+                          conv_clamp=None, gen_alpha_largest_res=16, mbstd_group_size=1),
+    )
+    import jax as _jax
+
+    params, buffers = cfg.generator_cfg().init(_jax.random.key(0))
+    gen = FakeImageGenerator(cfg, params, buffers, n_planes=4, img_size=16,
+                             sanity_full_alpha=True)
+    mpi = gen.sample_mpi(seed=0)
+    np.testing.assert_array_equal(np.asarray(mpi[:, :, 3]), 1.0)

@@ -155,3 +155,18 @@ def test_rays_hit_last_plane():
     geom, rgba, ray_dir, eye, z_dir = build_fixture()
     dhw_last = jnp.broadcast_to(geom.dhw[-1][None], (ray_dir.shape[0], 3))
     assert check_rays_hit_last_plane(dhw_last, eye, ray_dir, z_dir)
+
+
+def test_sequential_compositor_matches_vectorized():
+    """The back-to-front sequential compositor (the reference's
+    ``MPI.old_forward`` cross-check) agrees with the cumprod form."""
+    from gmpi_tpu.core.renderer import composite, composite_sequential
+
+    rng = np.random.default_rng(11)
+    rgb = jnp.asarray(rng.random((2, 6, 3, 16, 16)).astype(np.float32))
+    alpha = jnp.asarray(rng.random((2, 6, 1, 16, 16)).astype(np.float32))
+    depth = jnp.asarray(rng.random((2, 6, 1, 16, 16)).astype(np.float32) + 1.0)
+    c1, d1 = composite(rgb, alpha, depth)
+    c2, d2 = composite_sequential(rgb, alpha, depth)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=1e-4, atol=1e-5)
