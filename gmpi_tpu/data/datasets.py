@@ -17,11 +17,28 @@ from typing import List, Optional, Tuple
 import numpy as np
 from PIL import Image
 
+from gmpi_tpu.data import fastpng
 from gmpi_tpu.data.pose_convert import (
     deep3dface_yaw_pitch,
     w2c_from_deep3dface,
     w2c_from_pnp_c2w,
 )
+
+
+def _open_png(data: bytes) -> Image.Image:
+    """Native fastpng decode (the pyspng analogue) with PIL fallback."""
+    arr = fastpng.decode(data)
+    if arr is not None:
+        if arr.shape[2] == 2:  # gray+alpha -> let PIL handle rare cases
+            arr = None
+    if arr is not None:
+        mode = {1: "L", 3: "RGB", 4: "RGBA"}[arr.shape[2]]
+        return Image.fromarray(arr[..., 0] if arr.shape[2] == 1 else arr, mode)
+    import io
+
+    img = Image.open(io.BytesIO(data))
+    img.load()
+    return img
 
 IMG_EXTS = (".png", ".jpg", ".jpeg")
 
@@ -94,8 +111,7 @@ class FFHQ:
             self._zip = zipfile.ZipFile(self.zip_path)
         img_f, pose_f = self.data[index]
         with self._zip.open(img_f) as f:
-            img = Image.open(f)
-            img.load()
+            img = _open_png(f.read())
         assert img.size == (self.raw_img_size, self.raw_img_size), (img.size, self.raw_img_size)
         x = _to_tensor_range(img, self.img_size)
 
@@ -192,7 +208,8 @@ class MetFaces:
         import scipy.io as sio
 
         img_f, pose_f = self.data[index]
-        img = Image.open(img_f)
+        with open(img_f, "rb") as f:
+            img = _open_png(f.read())
         assert img.size == (self.raw_img_size, self.raw_img_size)
         x = _to_tensor_range(img, self.img_size)
         coeffs = sio.loadmat(pose_f)

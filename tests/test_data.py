@@ -172,3 +172,40 @@ def test_sharded_loader(ffhq_fixture):
     # different epoch -> different order
     other = list(l0.epoch(1))
     assert not np.array_equal(b0[0][0], other[0][0])
+
+
+# ---------------------------------------------------------------------------
+# native PNG decoder
+# ---------------------------------------------------------------------------
+
+
+def test_fastpng_decode_matches_pil():
+    import io
+
+    from gmpi_tpu.data import fastpng
+
+    if not fastpng.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+    for shape in [(33, 47, 3), (16, 16, 4), (21, 9, 3)]:
+        arr = rng.integers(0, 255, shape, dtype=np.uint8)
+        buf = io.BytesIO()
+        mode = "RGBA" if shape[2] == 4 else "RGB"
+        Image.fromarray(arr, mode).save(buf, format="PNG")
+        out = fastpng.decode(buf.getvalue())
+        assert out is not None
+        np.testing.assert_array_equal(out, arr)
+
+
+def test_fastpng_box_downscale():
+    from gmpi_tpu.data import fastpng
+
+    if not fastpng.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    out = fastpng.box_downscale(img, 4)
+    assert out is not None and out.shape == (8, 8, 3)
+    want = img.reshape(8, 4, 8, 4, 3).astype(np.uint32).sum(axis=(1, 3))
+    want = ((want + 8) // 16).astype(np.uint8)
+    np.testing.assert_array_equal(out, want)
