@@ -47,7 +47,7 @@ def torch_key_to_path(key: str) -> Optional[Tuple[str, Tuple[str, ...]]]:
     parts = key.split(".")
     if parts[-1] in SKIP_SUFFIXES:
         return None
-    if parts[-1] == "noise_const" or parts[-1] == "w_avg":
+    if parts[-1] in ("noise_const", "w_avg") or parts[-1].endswith("_left_append"):
         return "buffers", tuple(parts)
     return "params", tuple(parts)
 

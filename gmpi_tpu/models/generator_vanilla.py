@@ -48,6 +48,12 @@ class VanillaBlockCfg(SynthesisBlockCfg):
     def out_img_channels(self) -> int:
         return 3 + (3 if self.sep_background else 0) + self.head_channels
 
+    @property
+    def head_key(self) -> str:
+        # reference naming: ``toalpha`` (vanilla, L alphas) vs ``todepth``
+        # (depth2alpha, 1 depth channel; ``networks_vanilla_depth2alpha.py:386``)
+        return "toalpha" if self.head_type == "vanilla" else "todepth"
+
     def _toalpha_vanilla(self) -> ToRGB:
         return ToRGB(self.out_channels, self.head_channels, self.w_dim, conv_clamp=self.conv_clamp)
 
@@ -64,7 +70,7 @@ class VanillaBlockCfg(SynthesisBlockCfg):
         params["conv1"], buffers["conv1"] = self._conv1().init(k)
         key, k1, k2 = jax.random.split(key, 3)
         params["torgb"] = self._torgb().init(k1)
-        params["toalpha"] = self._toalpha_vanilla().init(k2)
+        params[self.head_key] = self._toalpha_vanilla().init(k2)
         return params, buffers
 
     def apply(
@@ -104,7 +110,7 @@ class VanillaBlockCfg(SynthesisBlockCfg):
         if self.sep_background:
             bg_feat = self._background_feature(x)
             parts.append(self._torgb().apply(params["torgb"], bg_feat, w_rgba))
-        parts.append(self._toalpha_vanilla().apply(params["toalpha"], x, w_rgba))
+        parts.append(self._toalpha_vanilla().apply(params[self.head_key], x, w_rgba))
         y = jnp.concatenate(parts, axis=1).astype(jnp.float32)
         img = img + y if img is not None else y
         return x, img
@@ -126,7 +132,9 @@ class VanillaGeneratorCfg:
     conv_clamp: Optional[float] = None
     sep_background: bool = True
     bg_ratio: float = 0.05
-    background_alpha_full: bool = True
+    # NOTE: the reference vanilla variants accept but never apply this flag
+    # (``networks_vanilla.py:567`` — unused); we implement it, default off
+    background_alpha_full: bool = False
     final_img_act: str = "tanh"
     mapping_num_layers: int = 8
     depth2alpha_z_range: float = 1.0

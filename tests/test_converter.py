@@ -208,3 +208,127 @@ def test_warm_start_partial_copy():
         np.asarray(params_w["synthesis"]["b16"]["toalpha"]["weight"]),
         np.asarray(params_init["synthesis"]["b16"]["toalpha"]["weight"]),
     )
+
+
+def _ref_common_kwargs():
+    return dict(
+        z_dim=64, c_dim=0, w_dim=64, img_resolution=32,
+        n_planes=6, plane_channels=4, pos_enc_multires=0,
+        torgba_sep_background=True, build_background_from_rgb=True,
+        build_background_from_rgb_ratio=0.05,
+        cond_on_pos_enc_only_alpha=True, gen_alpha_largest_res=32,
+        G_final_img_act="tanh",
+        mapping_kwargs={"num_layers": 8},
+        synthesis_kwargs={"channel_base": 1024, "channel_max": 64, "num_fp16_res": 0, "conv_clamp": None},
+    )
+
+
+@needs_reference
+def test_vanilla_generator_forward_matches_reference():
+    import contextlib, io
+
+    import torch
+
+    ref = import_reference("gmpi.models.networks.networks_vanilla")
+    from gmpi_tpu.models.generator_vanilla import VanillaGeneratorCfg
+
+    kwargs = _ref_common_kwargs()
+    kwargs.update(torgba_cond_on_pos_enc="none", torgba_cond_on_pos_enc_embed_func="none",
+                  background_alpha_full=False)
+    with contextlib.redirect_stdout(io.StringIO()):
+        g = ref.Generator(**kwargs).eval()
+    sd = {k: v.detach().numpy() for k, v in g.state_dict().items()}
+
+    cfg = VanillaGeneratorCfg(z_dim=64, w_dim=64, img_resolution=32, n_planes=6,
+                              channel_base=1024, channel_max=64, num_bf16_res=0,
+                              conv_clamp=None, head_type="vanilla")
+    params, buffers = convert_generator_checkpoint(sd, cfg)
+
+    geom = geom_mod.build_plane_geometry(
+        n_planes=6, min_d=0.95, max_d=1.12, fov_deg=12.6, sphere_center_z=1.0,
+        sphere_r=1.0, yaw_mean=0.0, yaw_std=0.289, pitch_mean=0.0, pitch_std=0.127)
+    xyz = geom_mod.multi_res_xyz(geom, 32)
+    z_np = np.random.default_rng(3).standard_normal((2, 64)).astype(np.float32)
+
+    ours = np.asarray(cfg.apply(params, buffers, jnp.asarray(z_np), None, xyz, 6, noise_mode="none"))
+    with torch.no_grad():
+        theirs = g(torch.from_numpy(z_np), None, None, False, 6, noise_mode="none").numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-4)
+
+
+@needs_reference
+def test_depth2alpha_generator_forward_matches_reference():
+    import contextlib, io
+
+    import torch
+
+    ref = import_reference("gmpi.models.networks.networks_vanilla_depth2alpha")
+    from gmpi_tpu.models.generator_vanilla import VanillaGeneratorCfg
+
+    kwargs = _ref_common_kwargs()
+    kwargs.update(torgba_cond_on_pos_enc="none", torgba_cond_on_pos_enc_embed_func="none",
+                  background_alpha_full=False,
+                  depth2alpha_z_range=1.0, depth2alpha_n_z_bins=256)
+    with contextlib.redirect_stdout(io.StringIO()):
+        g = ref.Generator(**kwargs).eval()
+    sd = {k: v.detach().numpy() for k, v in g.state_dict().items()}
+
+    cfg = VanillaGeneratorCfg(z_dim=64, w_dim=64, img_resolution=32, n_planes=6,
+                              channel_base=1024, channel_max=64, num_bf16_res=0,
+                              conv_clamp=None, head_type="depth2alpha",
+                              depth2alpha_z_range=1.0, depth2alpha_n_z_bins=256)
+    params, buffers = convert_generator_checkpoint(sd, cfg)
+
+    geom = geom_mod.build_plane_geometry(
+        n_planes=6, min_d=0.95, max_d=1.12, fov_deg=12.6, sphere_center_z=1.0,
+        sphere_r=1.0, yaw_mean=0.0, yaw_std=0.289, pitch_mean=0.0, pitch_std=0.127)
+    xyz = geom_mod.multi_res_xyz(geom, 32)
+    z_np = np.random.default_rng(4).standard_normal((2, 64)).astype(np.float32)
+
+    ours = np.asarray(cfg.apply(params, buffers, jnp.asarray(z_np), None, xyz, 6, noise_mode="none"))
+    xyz_torch = {r: torch.from_numpy(np.asarray(v)) for r, v in xyz.items()}
+    with torch.no_grad():
+        theirs = g(torch.from_numpy(z_np), None, xyz_torch, False, 6, noise_mode="none").numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-4)
+
+
+@needs_reference
+def test_learnable_param_generator_forward_matches_reference():
+    import contextlib, io
+
+    import torch
+
+    ref = import_reference("gmpi.models.networks.networks_pos_enc_learnable_param")
+    from gmpi_tpu.models.generator import GeneratorCfg, SynthesisNetworkCfg
+
+    kwargs = _ref_common_kwargs()
+    kwargs.update(torgba_cond_on_pos_enc="normalize_add_z",
+                  torgba_cond_on_pos_enc_embed_func="learnable_param",
+                  background_alpha_full=True)
+    # the reference plumbs the token count through synthesis_kwargs only
+    kwargs["synthesis_kwargs"] = dict(kwargs["synthesis_kwargs"], n_planes=6)
+    with contextlib.redirect_stdout(io.StringIO()):
+        g = ref.Generator(**kwargs).eval()
+    sd = {k: v.detach().numpy() for k, v in g.state_dict().items()}
+
+    cfg = GeneratorCfg(
+        z_dim=64, w_dim=64, img_resolution=32,
+        synthesis=SynthesisNetworkCfg(
+            w_dim=64, img_resolution=32, channel_base=1024, channel_max=64,
+            num_bf16_res=0, conv_clamp=None, gen_alpha_largest_res=32,
+            embed_func="learnable_param", n_planes_train=6,
+        ),
+    )
+    params, buffers = convert_generator_checkpoint(sd, cfg)
+
+    geom = geom_mod.build_plane_geometry(
+        n_planes=6, min_d=0.95, max_d=1.12, fov_deg=12.6, sphere_center_z=1.0,
+        sphere_r=1.0, yaw_mean=0.0, yaw_std=0.289, pitch_mean=0.0, pitch_std=0.127)
+    xyz = geom_mod.multi_res_xyz(geom, 32)
+    z_np = np.random.default_rng(5).standard_normal((2, 64)).astype(np.float32)
+
+    ours = np.asarray(cfg.apply(params, buffers, jnp.asarray(z_np), None, xyz, 6, noise_mode="none"))
+    xyz_torch = {r: torch.from_numpy(np.asarray(v)) for r, v in xyz.items()}
+    with torch.no_grad():
+        theirs = g(torch.from_numpy(z_np), None, xyz_torch, False, 6, noise_mode="none").numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-4)

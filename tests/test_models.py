@@ -296,6 +296,7 @@ def test_vanilla_family_variants(head_type):
     cfg = VanillaGeneratorCfg(
         z_dim=64, w_dim=64, img_resolution=16, n_planes=5,
         channel_base=1024, channel_max=64, conv_clamp=None, head_type=head_type,
+        background_alpha_full=True,
     )
     params, buffers = cfg.init(jax.random.key(0))
     geom = tiny_geometry(5)
