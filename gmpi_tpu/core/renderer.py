@@ -108,11 +108,14 @@ def _sample(rgba, grid, align_corners, tiled_bands):
     band_y, band_x = tiled_bands
     h, w = grid.shape[1], grid.shape[2]
     tile = (8 if h % 8 == 0 else 1, 128 if w % 128 == 0 else w)
-    # large images: scan over tile rows to bound live hat/patch memory
-    row_scan = (h // tile[0]) > 32
+    # large images: scan over tile-row groups to bound live hat/patch memory
+    nty = h // tile[0]
+    row_scan = nty > 32
+    # aim for ~32 scan steps, capped so per-step hat memory stays moderate
+    rows_per_step = max(1, nty // 32) if row_scan else 1
     return grid_sample_tiled(
         rgba, grid, band_y=band_y, band_x=band_x, tile=tile,
-        align_corners=align_corners, row_scan=row_scan,
+        align_corners=align_corners, row_scan=row_scan, rows_per_step=rows_per_step,
     )
 
 

@@ -108,6 +108,7 @@ def grid_sample_tiled(
     tile: Tuple[int, int] = (8, 128),
     align_corners: bool = True,
     row_scan: bool = False,
+    rows_per_step: int = 1,
 ) -> jnp.ndarray:
     """Bilinear sample with zeros padding; returns [N, C, Ho, Wo].
 
@@ -133,15 +134,22 @@ def grid_sample_tiled(
 
     args = (band_y, band_x, pad_y, pad_x, h, w, c, tile_r, tile_c)
     if row_scan:
-        fx_s = fx_t.swapaxes(0, 1)  # [nty, N, ntx, tr, tc]
-        fy_s = fy_t.swapaxes(0, 1)
+        g = max(1, min(rows_per_step, nty))
+        while nty % g:
+            g -= 1
+        fx_s = fx_t.swapaxes(0, 1).reshape(nty // g, g, n, ntx, tile_r, tile_c)
+        fy_s = fy_t.swapaxes(0, 1).reshape(nty // g, g, n, ntx, tile_r, tile_c)
+        # fold the row group into the tile axis: one step warps g*ntx tiles
+        fx_s = fx_s.transpose(0, 2, 1, 3, 4, 5).reshape(nty // g, n, g * ntx, tile_r, tile_c)
+        fy_s = fy_s.transpose(0, 2, 1, 3, 4, 5).reshape(nty // g, n, g * ntx, tile_r, tile_c)
 
         def body(_, xs):
             fx_row, fy_row = xs
             return None, _warp_row_tiles(texl, fx_row, fy_row, *args)
 
-        _, out = lax.scan(body, None, (fx_s, fy_s))  # [nty, N, ntx, P, C]
-        out = out.swapaxes(0, 1)  # [N, nty, ntx, P, C]
+        _, out = lax.scan(body, None, (fx_s, fy_s))  # [nty/g, N, g*ntx, P, C]
+        out = out.reshape(nty // g, n, g, ntx, p_tile, c).transpose(1, 0, 2, 3, 4, 5)
+        out = out.reshape(n, nty, ntx, p_tile, c)
     else:
         out = jax.vmap(
             lambda fx_row, fy_row: _warp_row_tiles(texl, fx_row, fy_row, *args),
