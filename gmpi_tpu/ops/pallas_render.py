@@ -132,9 +132,15 @@ def _kernel(
         return y_lo, x_lo
 
     def dma(slot, l, y_lo, x_lo):
-        # fused layout: lanes are (y, c) pairs -> y slice scales by 4
+        # fused layout: lanes are (y, c) pairs -> y slice scales by 4.
+        # band_start aligns y_lo to 32 and x_lo to 8; the compiler needs the
+        # pl.multiple_of hints to accept the tiled-memref slice.
         return pltpu.make_async_copy(
-            tex_ref.at[v, l, pl.ds(x_lo, band_x), pl.ds(y_lo * 4, band_y * 4)],
+            tex_ref.at[
+                v, l,
+                pl.ds(pl.multiple_of(x_lo, 8), band_x),
+                pl.ds(pl.multiple_of(y_lo * 4, 128), band_y * 4),
+            ],
             patch_buf.at[slot],
             sems.at[slot],
         )
