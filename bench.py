@@ -61,11 +61,18 @@ def main():
     z_f = jnp.broadcast_to(z_dir[:, None], (1, N_PLANES, 3)).reshape(N_PLANES, 3)
     grid, _ = homography_grid(dhw_f, eye_f, ray_f, z_f)
     by, bx = required_bands((N_PLANES, 4, TEX, TEX), grid, tile=(8, 128))
-    bands = (int(by), int(bx))
+
+    from gmpi_tpu.ops.tiled_warp_adjoint import check_monotone, required_output_bands
+
+    if check_monotone((N_PLANES, 4, TEX, TEX), grid):
+        pbr, pbc = required_output_bands((N_PLANES, 4, TEX, TEX), grid, tile=(8, 128))
+        bands = (int(by), int(bx), int(pbr) + 4, int(pbc) + 8)
+    else:
+        bands = (int(by), int(bx))
 
     def loss(x):
         out = render_mpi_chunked(
-            x, geom.dhw, ray_dir, eye, z_dir, plane_chunk=16, remat=True,
+            x, geom.dhw, ray_dir, eye, z_dir, plane_chunk=16,
             tiled_bands=bands,
         )
         return jnp.sum(out.color * cot)

@@ -58,9 +58,21 @@ def estimate_bands(
     grid, _ = homography_grid(dhw, eye_f, ray, z_f)
     if tile is None:
         tile = (8 if img_h % 8 == 0 else 1, 128 if img_w % 128 == 0 else img_w)
-    tex_shape = (v * l, 4, geom.dhw.shape[0] and img_h, img_w)  # tex assumed img-sized
-    by, bx = required_bands((v * l, 4, img_h, img_w), grid, tile=tile)
-    return _round_up(int(np.ceil(by * margin))), _round_up(int(np.ceil(bx * margin)))
+    tex_shape = (v * l, 4, img_h, img_w)  # texture assumed img-sized
+    by, bx = required_bands(tex_shape, grid, tile=tile)
+    by = _round_up(int(np.ceil(by * margin)))
+    bx = _round_up(int(np.ceil(bx * margin)))
+
+    # adjoint (splat) output bands for the scatter-free VJP; only valid when
+    # the warp is monotone along both axes over this pose range
+    from gmpi_tpu.ops.tiled_warp_adjoint import check_monotone, required_output_bands
+
+    if check_monotone(tex_shape, grid):
+        pbr, pbc = required_output_bands(tex_shape, grid, tile=tile)
+        pbr = _round_up(int(np.ceil(pbr * margin)))
+        pbc = _round_up(int(np.ceil(pbc * margin)))
+        return by, bx, pbr, pbc
+    return by, bx
 
 
 def bands_for_config(cfg, img_size: Optional[int] = None, n_planes: Optional[int] = None):

@@ -105,7 +105,7 @@ def _sample(rgba, grid, align_corners, tiled_bands):
         return grid_sample_bilinear(rgba, grid, align_corners=align_corners)
     from gmpi_tpu.ops.tiled_warp import grid_sample_tiled
 
-    band_y, band_x = tiled_bands
+    band_y, band_x = tiled_bands[0], tiled_bands[1]
     h, w = grid.shape[1], grid.shape[2]
     tile = (8 if h % 8 == 0 else 1, 128 if w % 128 == 0 else w)
     # large images: scan over tile-row groups to bound live hat/patch memory
@@ -113,6 +113,15 @@ def _sample(rgba, grid, align_corners, tiled_bands):
     row_scan = nty > 32
     # aim for ~32 scan steps, capped so per-step hat memory stays moderate
     rows_per_step = max(1, nty // 32) if row_scan else 1
+    if len(tiled_bands) == 4:
+        # (band_y, band_x, adj_rows, adj_cols): exact scatter-free adjoint VJP
+        from gmpi_tpu.ops.tiled_warp import make_tiled_warp_with_adjoint
+
+        fn = make_tiled_warp_with_adjoint(
+            band_y, band_x, (tiled_bands[2], tiled_bands[3]), tile=tile,
+            align_corners=align_corners, row_scan=row_scan, rows_per_step=rows_per_step,
+        )
+        return fn(rgba, grid)
     return grid_sample_tiled(
         rgba, grid, band_y=band_y, band_x=band_x, tile=tile,
         align_corners=align_corners, row_scan=row_scan, rows_per_step=rows_per_step,

@@ -159,3 +159,46 @@ def grid_sample_tiled(
     out = out.reshape(n, nty, ntx, tile_r, tile_c, c)
     out = out.transpose(0, 5, 1, 3, 2, 4).reshape(n, c, ho, wo)
     return out
+
+
+def make_tiled_warp_with_adjoint(
+    band_y: int,
+    band_x: int,
+    adjoint_bands: Tuple[int, int],
+    tile: Tuple[int, int] = (8, 128),
+    align_corners: bool = True,
+    row_scan: bool = False,
+    rows_per_step: int = 1,
+):
+    """Tiled warp with the exact scatter-free adjoint as its VJP.
+
+    Returns ``f(tex, grid) -> samples`` whose backward computes ``d_tex`` via
+    ``gmpi_tpu.ops.tiled_warp_adjoint`` (tiled splat on the MXU) instead of
+    XLA scatter-add, and stores only ``grid`` as residual (hats are
+    recomputed) — removing both the scatter and the need for rematerializing
+    the forward under ``lax.scan``.  The grid is treated as a constant
+    (reference semantics: UV grids carry no gradient, ``gmpi/core/mpi.py:65``).
+    """
+    from gmpi_tpu.ops.tiled_warp_adjoint import grid_sample_tiled_adjoint
+
+    pbr, pbc = adjoint_bands
+
+    @jax.custom_vjp
+    def f(tex, grid):
+        return grid_sample_tiled(
+            tex, grid, band_y, band_x, tile, align_corners, row_scan, rows_per_step
+        )
+
+    def fwd(tex, grid):
+        return f(tex, grid), (grid, tex.shape)
+
+    def bwd(res, cot):
+        grid, tex_shape = res
+        d_tex = grid_sample_tiled_adjoint(
+            cot, grid, tex_shape, pbr, pbc, tile=tile,
+            align_corners=align_corners, row_scan=row_scan,
+        )
+        return d_tex, None
+
+    f.defvjp(fwd, bwd)
+    return f

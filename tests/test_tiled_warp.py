@@ -108,7 +108,33 @@ def test_bands_for_config():
     cfg = get_config("FFHQ256")
     bands = bands_for_config(cfg)
     assert bands is not None
-    by, bx = bands
+    by, bx = bands[0], bands[1]
     assert 8 <= by <= 128 and 128 <= bx <= 512, (by, bx)
+    if len(bands) == 4:  # adjoint bands present when warp is monotone
+        assert bands[2] >= 8 and bands[3] >= 128
     # small images skip tiling
     assert bands_for_config(cfg, img_size=64) is None
+
+
+def test_adjoint_vjp_matches_autodiff():
+    from gmpi_tpu.ops.tiled_warp import make_tiled_warp_with_adjoint
+    from gmpi_tpu.ops.tiled_warp_adjoint import check_monotone, required_output_bands
+
+    rng = np.random.default_rng(6)
+    grid = _homography_grids(n_views=2, n_planes=4, img=64)
+    n = grid.shape[0]
+    tex = jnp.asarray(rng.random((n, 4, 64, 64)).astype(np.float32))
+    assert check_monotone(tex.shape, grid)
+    by, bx = required_bands(tex.shape, grid, tile=(8, 64))
+    pbr, pbc = required_output_bands(tex.shape, grid, tile=(8, 64))
+    cot = jnp.asarray(rng.standard_normal((n, 4, 64, 64)).astype(np.float32))
+
+    fn = make_tiled_warp_with_adjoint(by, bx, (pbr, pbc), tile=(8, 64))
+    g_ref = jax.grad(lambda t: jnp.sum(grid_sample_bilinear(t, grid) * cot))(tex)
+    g_new = jax.grad(lambda t: jnp.sum(fn(t, grid) * cot))(tex)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+    # forward identical too
+    np.testing.assert_allclose(
+        np.asarray(fn(tex, grid)), np.asarray(grid_sample_bilinear(tex, grid)),
+        rtol=1e-4, atol=1e-5,
+    )
