@@ -197,6 +197,7 @@ def make_tiled_warp_with_adjoint(
         d_tex = grid_sample_tiled_adjoint(
             cot, grid, tex_shape, pbr, pbc, tile=tile,
             align_corners=align_corners, row_scan=row_scan,
+            rows_per_step=rows_per_step,
         )
         return d_tex, None
 

@@ -94,8 +94,13 @@ def grid_sample_tiled_adjoint(
     tile: Tuple[int, int] = (8, 128),
     align_corners: bool = True,
     row_scan: bool = False,
+    rows_per_step: int = 1,
 ) -> jnp.ndarray:
-    """d_tex [N, C, Th, Tw] = adjoint-warp of ``cot`` — no scatter ops."""
+    """d_tex [N, C, Th, Tw] = adjoint-warp of ``cot`` — no scatter ops.
+
+    ``row_scan``/``rows_per_step`` mirror the forward: texture tile-rows are
+    processed through a ``lax.scan`` in groups to balance live memory against
+    per-step overhead."""
     n, c, th, tw = tex_shape
     _, _, ho, wo = cot.shape
     tr, tc = tile
@@ -149,11 +154,20 @@ def grid_sample_tiled_adjoint(
 
     def one_sample(cot_p, fx_p, fy_p, py_all, px_all):
         if row_scan:
-            def body(_, inp):
-                py, trow = inp
-                return None, row_of_tiles(cot_p, fx_p, fy_p, py, px_all, trow)
+            g = max(1, min(rows_per_step, n_ty))
+            while n_ty % g:
+                g -= 1
+            py_g = py_all.reshape(n_ty // g, g)
+            ty_g = ty0.reshape(n_ty // g, g)
 
-            _, rows = lax.scan(body, None, (py_all, ty0))
+            def body(_, inp):
+                pys, trows = inp
+                return None, jax.vmap(
+                    lambda py, trow: row_of_tiles(cot_p, fx_p, fy_p, py, px_all, trow)
+                )(pys, trows)  # [g, n_tx, C, tr, tc]
+
+            _, rows = lax.scan(body, None, (py_g, ty_g))
+            rows = rows.reshape(n_ty, n_tx, c, tr, tc)
         else:
             rows = jax.vmap(
                 lambda py, trow: row_of_tiles(cot_p, fx_p, fy_p, py, px_all, trow)
