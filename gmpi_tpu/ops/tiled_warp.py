@@ -72,8 +72,12 @@ def required_bands(
     return spans[0], spans[1]
 
 
-def _warp_row_tiles(texl, fx_row, fy_row, band_y, band_x, pad_y, pad_x, h, w, c, tile_r, tile_c):
-    """Warp one row of tiles: fx/fy [N, ntx, tile_r, tile_c] -> [N, ntx, P, C]."""
+def _warp_row_tiles(texf, fx_row, fy_row, band_y, band_x, pad_y, pad_x, h, w, c, tile_r, tile_c):
+    """Warp one row of tiles: fx/fy [N, ntx, tile_r, tile_c] -> [N, ntx, P, C].
+
+    ``texf`` is the x-major fused texture [N, Wp, Hp*C] — patches slice out
+    directly as matmul-ready ``[B_x, B_y*C]`` operands (no per-tile
+    transposes, which otherwise dominate the warp on TPU)."""
     n, ntx = fx_row.shape[0], fx_row.shape[1]
     p_tile = tile_r * tile_c
     y_lo = jnp.floor(jnp.min(fy_row, axis=(2, 3))).astype(jnp.int32) - 1  # [N, ntx]
@@ -81,11 +85,11 @@ def _warp_row_tiles(texl, fx_row, fy_row, band_y, band_x, pad_y, pad_x, h, w, c,
     y_lo_c = jnp.clip(y_lo + pad_y, 0, h + 2 * pad_y - band_y)
     x_lo_c = jnp.clip(x_lo + pad_x, 0, w + 2 * pad_x - band_x)
 
-    def slice_patch(tl, yl, xl):
-        return lax.dynamic_slice(tl, (yl, xl, 0), (band_y, band_x, c))
+    def slice_patch(tf, yl, xl):
+        return lax.dynamic_slice(tf, (xl, yl * c), (band_x, band_y * c))
 
-    patches = jax.vmap(jax.vmap(slice_patch, in_axes=(None, 0, 0)))(texl, y_lo_c, x_lo_c)
-    # [N, ntx, B_y, B_x, C]
+    pm = jax.vmap(jax.vmap(slice_patch, in_axes=(None, 0, 0)))(texf, y_lo_c, x_lo_c)
+    # [N, ntx, B_x, B_y*C]
 
     ty_rel = fy_row.reshape(n, ntx, p_tile, 1) - (y_lo_c - pad_y).astype(fy_row.dtype)[..., None, None]
     tx_rel = fx_row.reshape(n, ntx, p_tile, 1) - (x_lo_c - pad_x).astype(fx_row.dtype)[..., None, None]
@@ -94,7 +98,6 @@ def _warp_row_tiles(texl, fx_row, fy_row, band_y, band_x, pad_y, pad_x, h, w, c,
     hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(ty_rel - iy))  # [N, ntx, P, B_y]
     hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(tx_rel - ix))  # [N, ntx, P, B_x]
 
-    pm = patches.transpose(0, 1, 3, 2, 4).reshape(n, ntx, band_x, band_y * c)
     mixed = jnp.einsum("...px,...xm->...pm", hat_x, pm)  # [N, ntx, P, B_y*C]
     mixed = mixed.reshape(n, ntx, p_tile, band_y, c)
     return jnp.einsum("...py,...pyc->...pc", hat_y, mixed)  # [N, ntx, P, C]
@@ -125,12 +128,13 @@ def grid_sample_tiled(
     fx_t, fy_t, nty, ntx = _tile_coords(tex.shape, grid, align_corners, tile_r, tile_c)
     p_tile = tile_r * tile_c
 
-    # generous zero pad: every clamped band start reads real texels or zeros
+    # generous zero pad: every clamped band start reads real texels or zeros.
+    # x-major fused layout [N, Wp, Hp*C]: patch slices arrive matmul-ready.
     pad_y, pad_x = band_y, band_x
     texl = jnp.pad(
-        tex.transpose(0, 2, 3, 1),
-        ((0, 0), (pad_y, pad_y), (pad_x, pad_x), (0, 0)),
-    )  # [N, H+2py, W+2px, C]
+        tex.transpose(0, 3, 2, 1),
+        ((0, 0), (pad_x, pad_x), (pad_y, pad_y), (0, 0)),
+    ).reshape(n, w + 2 * pad_x, (h + 2 * pad_y) * c)  # [N, Wp, Hp*C]
 
     args = (band_y, band_x, pad_y, pad_x, h, w, c, tile_r, tile_c)
     if row_scan:
