@@ -65,7 +65,7 @@ def main():
     from gmpi_tpu.ops.tiled_warp_adjoint import check_monotone, required_output_bands
 
     if check_monotone((N_PLANES, 4, TEX, TEX), grid):
-        pbr, pbc = required_output_bands((N_PLANES, 4, TEX, TEX), grid, tile=(8, 128))
+        pbr, pbc = required_output_bands((N_PLANES, 4, TEX, TEX), grid, tile=(32, 128))
         bands = (int(by), int(bx), int(pbr) + 4, int(pbc) + 8)
     else:
         bands = (int(by), int(bx))

@@ -68,7 +68,10 @@ def estimate_bands(
     from gmpi_tpu.ops.tiled_warp_adjoint import check_monotone, required_output_bands
 
     if check_monotone(tex_shape, grid):
-        pbr, pbc = required_output_bands(tex_shape, grid, tile=tile)
+        # adjoint runs on taller texture tiles (32 rows) to amortize band
+        # slicing overlap
+        atile = (32 if img_h % 32 == 0 else tile[0], tile[1])
+        pbr, pbc = required_output_bands(tex_shape, grid, tile=atile)
         pbr = _round_up(int(np.ceil(pbr * margin)))
         pbc = _round_up(int(np.ceil(pbc * margin)))
         return by, bx, pbr, pbc

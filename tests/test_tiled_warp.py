@@ -129,7 +129,7 @@ def test_adjoint_vjp_matches_autodiff():
     pbr, pbc = required_output_bands(tex.shape, grid, tile=(8, 64))
     cot = jnp.asarray(rng.standard_normal((n, 4, 64, 64)).astype(np.float32))
 
-    fn = make_tiled_warp_with_adjoint(by, bx, (pbr, pbc), tile=(8, 64))
+    fn = make_tiled_warp_with_adjoint(by, bx, (pbr, pbc), tile=(8, 64), adjoint_tile=(8, 64))
     g_ref = jax.grad(lambda t: jnp.sum(grid_sample_bilinear(t, grid) * cot))(tex)
     g_new = jax.grad(lambda t: jnp.sum(fn(t, grid) * cot))(tex)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
