@@ -73,6 +73,9 @@ class TrainHparams:
     # warm-started; full fine-tune enables everything)
     train_mapping: bool = True
     train_trunk: bool = True
+    # plane-chunked rendering inside the train step (memory relief at 1024²;
+    # None = unchunked)
+    renderer_plane_chunk: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,7 +37,7 @@ from gmpi_tpu.core import camera as cam
 from gmpi_tpu.core import geometry as geom_mod
 from gmpi_tpu.core import poses as poses_mod
 from gmpi_tpu.core.lighting import LightingConfig, light_mpi
-from gmpi_tpu.core.renderer import render_mpi
+from gmpi_tpu.core.renderer import render_mpi, render_mpi_chunked
 from gmpi_tpu.train.losses import d_gan_loss, g_gan_loss, r1_penalty
 
 
@@ -160,8 +160,15 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
             None, mpi.shape[0], cfg.camera, given_yaws=yaws, given_pitches=pitches
         )
         ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
-        out = render_mpi(mpi, geom.dhw, ray_dir, eye, z_dir, align_corners,
-                         tiled_bands=tiled_bands)
+        if t.renderer_plane_chunk:
+            out = render_mpi_chunked(
+                mpi, geom.dhw, ray_dir, eye, z_dir,
+                plane_chunk=t.renderer_plane_chunk,
+                align_corners=align_corners, tiled_bands=tiled_bands,
+            )
+        else:
+            out = render_mpi(mpi, geom.dhw, ray_dir, eye, z_dir, align_corners,
+                             tiled_bands=tiled_bands)
         imgs = out.color * 2.0 - 1.0  # ``mpi_renderer.py:467``
         flat_pose = flat_pose_from_c2w(c2w, t.d_cond_pose_dim) if t.d_cond_on_pose else None
         return imgs, flat_pose
