@@ -224,6 +224,7 @@ def render_mpi(
     z_dir: jnp.ndarray,
     align_corners: bool = True,
     tiled_bands: Optional[Tuple[int, int]] = None,
+    stop_pose_grad: bool = True,
 ) -> RenderOutput:
     """Render a batch of MPIs into their cameras (one camera per MPI).
 
@@ -255,9 +256,18 @@ def render_mpi(
     flat_z = jnp.broadcast_to(z_dir[:, None], (v, l_planes, 3)).reshape(v * l_planes, 3).astype(jnp.float32)
 
     grid, depth = homography_grid(flat_dhw, flat_eye, flat_ray, flat_z, align_corners)
-    grid = lax.stop_gradient(grid)
-    depth = lax.stop_gradient(depth)
-    sampled = _sample(flat_rgba, grid, align_corners, tiled_bands)
+    if stop_pose_grad:
+        # reference semantics: UV grid under no_grad -> grads reach RGBA only
+        # (``gmpi/core/mpi.py:65``)
+        grid = lax.stop_gradient(grid)
+        depth = lax.stop_gradient(depth)
+        sampled = _sample(flat_rgba, grid, align_corners, tiled_bands)
+    else:
+        # BASELINE extension: differentiable pose — d(color)/d(camera) flows
+        # through the sampling grid and the per-pixel depth.  Uses the plain
+        # autodiff warp (the custom-VJP adjoint cuts grid gradients).
+        bands2 = tiled_bands[:2] if tiled_bands is not None else None
+        sampled = _sample(flat_rgba, grid, align_corners, bands2)
 
     # match reference fp order: disp = 1/depth, then depth = 1/disp
     # (``gmpi/core/mpi.py:151, 411``).

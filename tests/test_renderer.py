@@ -170,3 +170,41 @@ def test_sequential_compositor_matches_vectorized():
     c2, d2 = composite_sequential(rgb, alpha, depth)
     np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=1e-4, atol=1e-5)
+
+
+def test_differentiable_pose_gradients():
+    """stop_pose_grad=False: gradients flow to the camera (eye position),
+    matching finite differences — the BASELINE d-pose extension."""
+    from gmpi_tpu.core.renderer import render_mpi as _render
+
+    geom, _, ray_dir, eye, z_dir = build_fixture(n_planes=4, tex=32, img=24, n_views=1)
+    # smooth texture: bilinear sampling is piecewise linear, so finite
+    # differences only match autodiff away from texel-boundary kinks —
+    # low-frequency content keeps the comparison well-posed
+    yy, xx = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 32), indexing="ij")
+    smooth = np.stack([np.sin(2 * yy + 1), np.cos(3 * xx), yy * xx, 0.5 + 0.4 * np.sin(xx + yy)], 0)
+    rgba = jnp.asarray(np.tile(smooth[None, None], (1, 4, 1, 1, 1)).astype(np.float32) * 0.5 + 0.25)
+    cot = jnp.asarray(np.random.default_rng(3).standard_normal((1, 3, 24, 24)).astype(np.float32))
+
+    def loss(eye_x):
+        e = eye.at[0, 0].add(eye_x)
+        out = _render(rgba, geom.dhw, ray_dir, e, z_dir, stop_pose_grad=False)
+        return jnp.sum(out.color * cot)
+
+    g = float(jax.grad(loss)(0.0))
+    assert g != 0.0
+    # bilinear sampling is piecewise linear in position: finite differences
+    # approach the point derivative only once the probe stays near one linear
+    # piece (fp32 cancellation limits how small eps can go)
+    eps = 1e-4
+    fd = (float(loss(eps)) - float(loss(-eps))) / (2 * eps)
+    assert np.sign(fd) == np.sign(g)
+    np.testing.assert_allclose(g, fd, rtol=0.35)
+
+    # default path: pose gradients are cut (reference semantics)
+    def loss_stopped(eye_x):
+        e = eye.at[0, 0].add(eye_x)
+        out = _render(rgba, geom.dhw, ray_dir, e, z_dir)
+        return jnp.sum(out.color * cot)
+
+    assert float(jax.grad(loss_stopped)(0.0)) == 0.0
