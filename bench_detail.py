@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Detailed renderer benchmark + speed-of-light roofline report.
+
+Complements ``bench.py`` (the driver's single-line metric) with a component
+breakdown — forward, forward+backward, per-stage — and the roofline
+accounting BASELINE asks for (``gmpi_tpu/utils/roofline.py``).  Optionally
+writes a ``jax.profiler`` trace for offline inspection.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--planes", type=int, default=96)
+    ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--plane_chunk", type=int, default=16)
+    ap.add_argument("--trace_dir", default=None, help="write a jax.profiler trace here")
+    args = ap.parse_args()
+
+    from gmpi_tpu.core import camera as cam
+    from gmpi_tpu.core import geometry as geom_mod
+    from gmpi_tpu.core import poses as poses_mod
+    from gmpi_tpu.core.renderer import homography_grid, render_mpi_chunked
+    from gmpi_tpu.ops.tiled_warp import required_bands
+    from gmpi_tpu.ops.tiled_warp_adjoint import check_monotone, required_output_bands
+    from gmpi_tpu.utils.roofline import TPU_V5E, attained, render_cost
+
+    L, R = args.planes, args.res
+    geom = geom_mod.build_plane_geometry(
+        n_planes=L, min_d=0.95, max_d=1.12, distance_sample_method="inverse",
+        fov_deg=12.6, sphere_center_z=1.0, sphere_r=1.0,
+        yaw_mean=0.0, yaw_std=0.289, pitch_mean=0.0, pitch_std=0.127,
+    )
+    rng = np.random.default_rng(0)
+    rgba = jnp.asarray(rng.random((1, L, 4, R, R)).astype(np.float32))
+    c2w, _, _ = poses_mod.sample_sphere_poses(
+        None, 1, poses_mod.SphereCameraConfig(1.0, 1.0, 0.0, 0.289, 0.0, 0.127),
+        given_yaws=jnp.asarray([[0.1]]), given_pitches=jnp.asarray([[0.05]]),
+    )
+    intr = cam.intrinsics_from_fov(12.6, R, R)
+    ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+    cot = jnp.asarray(rng.standard_normal((1, 3, R, R)).astype(np.float32))
+
+    dhw_f = jnp.asarray(geom.dhw)
+    ray_f = jnp.broadcast_to(ray_dir[:, None], (1, L, 3, R, R)).reshape(L, 3, R, R)
+    eye_f = jnp.broadcast_to(eye[:, None], (1, L, 3)).reshape(L, 3)
+    z_f = jnp.broadcast_to(z_dir[:, None], (1, L, 3)).reshape(L, 3)
+    grid, _ = homography_grid(dhw_f, eye_f, ray_f, z_f)
+    by, bx = required_bands((L, 4, R, R), grid, tile=(8, 128))
+    if check_monotone((L, 4, R, R), grid):
+        pbr, pbc = required_output_bands((L, 4, R, R), grid, tile=(32, 128))
+        bands = (int(by), int(bx), int(pbr) + 4, int(pbc) + 8)
+    else:
+        bands = (int(by), int(bx))
+    print(f"warp bands: {bands}")
+
+    def timed(fn, *a, name="", iters=3):
+        r = fn(*a)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), r)
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            r = fn(*a)
+            float(np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[0]))
+            ts.append(time.perf_counter() - t0)
+        best = min(ts)
+        print(f"{name:<28} {best * 1000:8.1f} ms")
+        return best
+
+    fwd = jax.jit(
+        lambda x: render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir,
+                                     plane_chunk=args.plane_chunk, tiled_bands=bands).color
+    )
+    loss = lambda x: jnp.sum(
+        render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir,
+                           plane_chunk=args.plane_chunk, tiled_bands=bands).color * cot
+    )
+    grad = jax.jit(jax.grad(loss))
+
+    if args.trace_dir:
+        with jax.profiler.trace(args.trace_dir):
+            t_fwd = timed(fwd, rgba, name="render fwd")
+            t_fb = timed(grad, rgba, name="render fwd+bwd")
+    else:
+        t_fwd = timed(fwd, rgba, name="render fwd")
+        t_fb = timed(grad, rgba, name="render fwd+bwd")
+
+    for nm, t, bwd in (("fwd", t_fwd, False), ("fwd+bwd", t_fb, True)):
+        cost = render_cost(1, L, R, R, R, R, backward=bwd)
+        rep = attained(t, cost, TPU_V5E)
+        print(
+            f"roofline[{nm}]: SOL {rep['speed_of_light_s']*1e3:.1f} ms "
+            f"({rep['bound']}-bound) -> {rep['sol_fraction']*100:.1f}% of SOL, "
+            f"{rep['attained_gbps']:.0f} GB/s, {rep['attained_tflops']:.2f} TFLOP/s"
+        )
+    print(f"throughput fwd+bwd: {R*R/1e6/t_fb:.3f} Mpix/s/chip")
+
+
+if __name__ == "__main__":
+    main()
