@@ -176,7 +176,11 @@ def _kernel(
         fy_rel = fy - (y_lo - band_y).astype(jnp.float32)
 
         hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(fx_rel - ix))  # (P, Bx)
-        mixed = jnp.dot(hat_x, patch, preferred_element_type=jnp.float32)  # (P, By*4)
+        mixed = jax.lax.dot_general(
+            hat_x, patch, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (P, By*4)
 
         # y-mix via lane-masked reductions (no reshape): lane = y*4 + c
         hat_y4 = jnp.maximum(0.0, 1.0 - jnp.abs(fy_rel - y_of_lane))  # (P, By*4)
