@@ -96,7 +96,7 @@ def homography_grid(
     return grid, depth
 
 
-def _sample(rgba, grid, align_corners, tiled_bands):
+def _sample(rgba, grid, align_corners, tiled_bands, patch_backend="xla"):
     """Warp-backend dispatch: portable per-pixel gather, or the tile-banded
     MXU warp (``gmpi_tpu/ops/tiled_warp.py`` — the TPU-native path, ~300x the
     gather formulation on v5e) when ``tiled_bands=(band_y, band_x)`` is given.
@@ -113,6 +113,12 @@ def _sample(rgba, grid, align_corners, tiled_bands):
     row_scan = nty > 32
     # aim for ~32 scan steps, capped so per-step hat memory stays moderate
     rows_per_step = max(1, nty // 32) if row_scan else 1
+    if patch_backend == "pallas":
+        # DMA patch gather needs tile-aligned starts; bands carry the slack
+        c = rgba.shape[1]
+        y_align = max(1, 128 // c)
+        band_y = ((band_y + 2 * (y_align - 1)) // y_align) * y_align
+        band_x = ((band_x + 14) // 8) * 8
     if len(tiled_bands) == 4:
         # (band_y, band_x, adj_rows, adj_cols): exact scatter-free adjoint VJP
         from gmpi_tpu.ops.tiled_warp import make_tiled_warp_with_adjoint
@@ -120,11 +126,13 @@ def _sample(rgba, grid, align_corners, tiled_bands):
         fn = make_tiled_warp_with_adjoint(
             band_y, band_x, (tiled_bands[2], tiled_bands[3]), tile=tile,
             align_corners=align_corners, row_scan=row_scan, rows_per_step=rows_per_step,
+            patch_backend=patch_backend,
         )
         return fn(rgba, grid)
     return grid_sample_tiled(
         rgba, grid, band_y=band_y, band_x=band_x, tile=tile,
         align_corners=align_corners, row_scan=row_scan, rows_per_step=rows_per_step,
+        patch_backend=patch_backend,
     )
 
 
@@ -136,6 +144,7 @@ def warp_planes(
     z_dir: jnp.ndarray,
     align_corners: bool = True,
     tiled_bands: Optional[Tuple[int, int]] = None,
+    patch_backend: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Inverse-warp flattened planes into their cameras: the full
     ``homography()`` (``gmpi/core/mpi.py:26-153``).
@@ -145,7 +154,7 @@ def warp_planes(
     grid, depth = homography_grid(dhw, eye_pos, ray_dir, z_dir, align_corners)
     grid = lax.stop_gradient(grid)
     depth = lax.stop_gradient(depth)
-    sampled = _sample(rgba, grid, align_corners, tiled_bands)
+    sampled = _sample(rgba, grid, align_corners, tiled_bands, patch_backend)
     rgb = sampled[:, :3]
     alpha = sampled[:, 3:4]
     disp = 1.0 / depth
@@ -225,6 +234,7 @@ def render_mpi(
     align_corners: bool = True,
     tiled_bands: Optional[Tuple[int, int]] = None,
     stop_pose_grad: bool = True,
+    patch_backend: str = "xla",
 ) -> RenderOutput:
     """Render a batch of MPIs into their cameras (one camera per MPI).
 
@@ -261,7 +271,7 @@ def render_mpi(
         # (``gmpi/core/mpi.py:65``)
         grid = lax.stop_gradient(grid)
         depth = lax.stop_gradient(depth)
-        sampled = _sample(flat_rgba, grid, align_corners, tiled_bands)
+        sampled = _sample(flat_rgba, grid, align_corners, tiled_bands, patch_backend)
     else:
         # BASELINE extension: differentiable pose — d(color)/d(camera) flows
         # through the sampling grid and the per-pixel depth.  Uses the plain
@@ -292,6 +302,7 @@ def render_mpi_chunked(
     align_corners: bool = True,
     remat: bool = False,
     tiled_bands: Optional[Tuple[int, int]] = None,
+    patch_backend: str = "xla",
 ) -> RenderOutput:
     """Memory-bounded render: planes processed in contiguous front-to-back
     slabs of size ``plane_chunk`` via ``lax.scan`` + segment compositing.
@@ -318,7 +329,8 @@ def render_mpi_chunked(
     slab_fn = render_slab_partial
     if remat:
         slab_fn = jax.checkpoint(
-            lambda r, d: render_slab_partial(r, d, ray_dir, eye_pos, z_dir, align_corners, tiled_bands)
+            lambda r, d: render_slab_partial(r, d, ray_dir, eye_pos, z_dir, align_corners,
+                                             tiled_bands, patch_backend)
         )
 
     def body(carry, slab):
@@ -326,7 +338,8 @@ def render_mpi_chunked(
         if remat:
             out = slab_fn(slab_rgba, slab_dhw)
         else:
-            out = slab_fn(slab_rgba, slab_dhw, ray_dir, eye_pos, z_dir, align_corners, tiled_bands)
+            out = slab_fn(slab_rgba, slab_dhw, ray_dir, eye_pos, z_dir, align_corners,
+                          tiled_bands, patch_backend)
         return combine_segments(carry, out), None
 
     init = (
@@ -346,6 +359,7 @@ def render_slab_partial(
     z_dir: jnp.ndarray,
     align_corners: bool = True,
     tiled_bands: Optional[Tuple[int, int]] = None,
+    patch_backend: str = "xla",
 ):
     """Warp + partially composite one plane slab; returns slab partials for
     :func:`combine_segments`."""
@@ -359,7 +373,8 @@ def render_slab_partial(
     ).astype(jnp.float32)
     flat_eye = jnp.broadcast_to(eye_pos[:, None], (v, l_planes, 3)).reshape(v * l_planes, 3).astype(jnp.float32)
     flat_z = jnp.broadcast_to(z_dir[:, None], (v, l_planes, 3)).reshape(v * l_planes, 3).astype(jnp.float32)
-    rgb, disp, alpha = warp_planes(flat_rgba, flat_dhw, flat_eye, flat_ray, flat_z, align_corners, tiled_bands)
+    rgb, disp, alpha = warp_planes(flat_rgba, flat_dhw, flat_eye, flat_ray, flat_z, align_corners,
+                                   tiled_bands, patch_backend)
     depth = 1.0 / disp
     rgb = rgb.reshape(v, l_planes, 3, h, w)
     alpha = alpha.reshape(v, l_planes, 1, h, w)

@@ -72,7 +72,8 @@ def required_bands(
     return spans[0], spans[1]
 
 
-def _warp_row_tiles(texf, fx_row, fy_row, band_y, band_x, pad_y, pad_x, h, w, c, tile_r, tile_c):
+def _warp_row_tiles(texf, fx_row, fy_row, band_y, band_x, pad_y, pad_x, h, w, c, tile_r, tile_c,
+                    patch_backend="xla", interpret=False):
     """Warp one row of tiles: fx/fy [N, ntx, tile_r, tile_c] -> [N, ntx, P, C].
 
     ``texf`` is the x-major fused texture [N, Wp, Hp*C] — patches slice out
@@ -85,10 +86,25 @@ def _warp_row_tiles(texf, fx_row, fy_row, band_y, band_x, pad_y, pad_x, h, w, c,
     y_lo_c = jnp.clip(y_lo + pad_y, 0, h + 2 * pad_y - band_y)
     x_lo_c = jnp.clip(x_lo + pad_x, 0, w + 2 * pad_x - band_x)
 
-    def slice_patch(tf, yl, xl):
-        return lax.dynamic_slice(tf, (xl, yl * c), (band_x, band_y * c))
+    if patch_backend == "pallas":
+        # tile-aligned starts for DMA (bands must carry the slack: y to
+        # 128/c lanes, x to 8 sublanes)
+        y_align = max(1, 128 // c)
+        y_lo_c = (y_lo_c // y_align) * y_align
+        x_lo_c = (x_lo_c // 8) * 8
+        from gmpi_tpu.ops.pallas_patch import gather_patches
 
-    pm = jax.vmap(jax.vmap(slice_patch, in_axes=(None, 0, 0)))(texf, y_lo_c, x_lo_c)
+        offs = jnp.stack([x_lo_c, y_lo_c * c], axis=-1).astype(jnp.int32)  # [N, ntx, 2]
+        t = offs.shape[1]
+        k = 8
+        while t % k:
+            k -= 1
+        pm = gather_patches(texf, offs, band_x, band_y * c, k_tiles=k, interpret=interpret)
+    else:
+        def slice_patch(tf, yl, xl):
+            return lax.dynamic_slice(tf, (xl, yl * c), (band_x, band_y * c))
+
+        pm = jax.vmap(jax.vmap(slice_patch, in_axes=(None, 0, 0)))(texf, y_lo_c, x_lo_c)
     # [N, ntx, B_x, B_y*C]
 
     ty_rel = fy_row.reshape(n, ntx, p_tile, 1) - (y_lo_c - pad_y).astype(fy_row.dtype)[..., None, None]
@@ -112,8 +128,17 @@ def grid_sample_tiled(
     align_corners: bool = True,
     row_scan: bool = False,
     rows_per_step: int = 1,
+    patch_backend: str = "xla",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Bilinear sample with zeros padding; returns [N, C, Ho, Wo].
+
+    ``patch_backend="pallas"`` streams texture patches through the Pallas DMA
+    gather (``ops/pallas_patch.py``) instead of XLA's gather lowering of
+    vmapped ``dynamic_slice`` — the latter is the measured forward bottleneck
+    at scale.  Bands must then include the DMA alignment slack: band_y must
+    be a multiple of 128/C covering span + (128/C - 1); band_x a multiple of
+    8 covering span + 7.
 
     ``band_y``/``band_x`` must cover each tile's source span (see
     :func:`required_bands`); generous defaults suit the GMPI camera ranges at
@@ -136,7 +161,10 @@ def grid_sample_tiled(
         ((0, 0), (pad_x, pad_x), (pad_y, pad_y), (0, 0)),
     ).reshape(n, w + 2 * pad_x, (h + 2 * pad_y) * c)  # [N, Wp, Hp*C]
 
-    args = (band_y, band_x, pad_y, pad_x, h, w, c, tile_r, tile_c)
+    if patch_backend == "pallas":
+        y_align = max(1, 128 // c)
+        assert band_y % y_align == 0 and band_x % 8 == 0, (band_y, band_x)
+    args = (band_y, band_x, pad_y, pad_x, h, w, c, tile_r, tile_c, patch_backend, interpret)
     if row_scan:
         g = max(1, min(rows_per_step, nty))
         while nty % g:
@@ -174,6 +202,7 @@ def make_tiled_warp_with_adjoint(
     row_scan: bool = False,
     rows_per_step: int = 1,
     adjoint_tile: Tuple[int, int] = (32, 128),
+    patch_backend: str = "xla",
 ):
     """Tiled warp with the exact scatter-free adjoint as its VJP.
 
@@ -191,7 +220,8 @@ def make_tiled_warp_with_adjoint(
     @jax.custom_vjp
     def f(tex, grid):
         return grid_sample_tiled(
-            tex, grid, band_y, band_x, tile, align_corners, row_scan, rows_per_step
+            tex, grid, band_y, band_x, tile, align_corners, row_scan, rows_per_step,
+            patch_backend=patch_backend,
         )
 
     def fwd(tex, grid):
