@@ -11,6 +11,12 @@ block, starting patch k+1's DMA before waiting on patch k.
 Offsets must be tile-aligned (x to 8 sublanes, y*C to 128 lanes — the caller
 aligns starts down and sizes bands with the slack); ``pl.multiple_of`` hints
 make the alignment provable to Mosaic.
+
+STATUS: experimental.  On the tunneled v5e dev chip this measured *slower*
+than the XLA gather (per-patch DMA latency dominates at ~150 KB patches; the
+alignment slack also inflates traffic ~4x), so ``patch_backend="xla"``
+remains the renderer default; revisit with batched multi-patch DMAs on
+directly-attached hardware.
 """
 
 from __future__ import annotations
