@@ -31,7 +31,7 @@ INNER_ITERS = 4
 OUTER = 3
 
 
-def main():
+def run(n_planes, res, tex, plane_chunk):
     from gmpi_tpu.core import camera as cam
     from gmpi_tpu.core import geometry as geom_mod
     from gmpi_tpu.core import poses as poses_mod
@@ -39,40 +39,40 @@ def main():
     from gmpi_tpu.ops.tiled_warp import required_bands
 
     geom = geom_mod.build_plane_geometry(
-        n_planes=N_PLANES, min_d=0.95, max_d=1.12, distance_sample_method="inverse",
+        n_planes=n_planes, min_d=0.95, max_d=1.12, distance_sample_method="inverse",
         fov_deg=12.6, sphere_center_z=1.0, sphere_r=1.0,
         yaw_mean=0.0, yaw_std=0.289, pitch_mean=0.0, pitch_std=0.127,
         n_truncated_stds=2.0, enlarge_factor=1.001, confined=True,
     )
     rng = np.random.default_rng(0)
-    rgba = jnp.asarray(rng.random((1, N_PLANES, 4, TEX, TEX)).astype(np.float32))
+    rgba = jnp.asarray(rng.random((1, n_planes, 4, tex, tex)).astype(np.float32))
     c2w, _, _ = poses_mod.sample_sphere_poses(
         None, 1, poses_mod.SphereCameraConfig(1.0, 1.0, 0.0, 0.289, 0.0, 0.127),
         given_yaws=jnp.asarray([[0.1]]), given_pitches=jnp.asarray([[0.05]]),
     )
-    intr = cam.intrinsics_from_fov(12.6, RES, RES)
+    intr = cam.intrinsics_from_fov(12.6, res, res)
     ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
-    cot = jnp.asarray(rng.standard_normal((1, 3, RES, RES)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((1, 3, res, res)).astype(np.float32))
 
     # measure the warp bands this pose needs (static for the jit below)
     dhw_f = jnp.asarray(geom.dhw)
-    ray_f = jnp.broadcast_to(ray_dir[:, None], (1, N_PLANES, 3, RES, RES)).reshape(N_PLANES, 3, RES, RES)
-    eye_f = jnp.broadcast_to(eye[:, None], (1, N_PLANES, 3)).reshape(N_PLANES, 3)
-    z_f = jnp.broadcast_to(z_dir[:, None], (1, N_PLANES, 3)).reshape(N_PLANES, 3)
+    ray_f = jnp.broadcast_to(ray_dir[:, None], (1, n_planes, 3, res, res)).reshape(n_planes, 3, res, res)
+    eye_f = jnp.broadcast_to(eye[:, None], (1, n_planes, 3)).reshape(n_planes, 3)
+    z_f = jnp.broadcast_to(z_dir[:, None], (1, n_planes, 3)).reshape(n_planes, 3)
     grid, _ = homography_grid(dhw_f, eye_f, ray_f, z_f)
-    by, bx = required_bands((N_PLANES, 4, TEX, TEX), grid, tile=(8, 128))
+    by, bx = required_bands((n_planes, 4, tex, tex), grid, tile=(8, 128))
 
     from gmpi_tpu.ops.tiled_warp_adjoint import check_monotone, required_output_bands
 
-    if check_monotone((N_PLANES, 4, TEX, TEX), grid):
-        pbr, pbc = required_output_bands((N_PLANES, 4, TEX, TEX), grid, tile=(32, 128))
+    if check_monotone((n_planes, 4, tex, tex), grid):
+        pbr, pbc = required_output_bands((n_planes, 4, tex, tex), grid, tile=(32, 128))
         bands = (int(by), int(bx), int(pbr) + 4, int(pbc) + 8)
     else:
         bands = (int(by), int(bx))
 
     def loss(x):
         out = render_mpi_chunked(
-            x, geom.dhw, ray_dir, eye, z_dir, plane_chunk=16,
+            x, geom.dhw, ray_dir, eye, z_dir, plane_chunk=plane_chunk,
             tiled_bands=bands,
         )
         return jnp.sum(out.color * cot)
@@ -96,13 +96,23 @@ def main():
         times.append(time.perf_counter() - t0)
     best = min(times) / INNER_ITERS
 
-    mpix_per_s = (RES * RES) / 1e6 / best
-    print(json.dumps({
-        "metric": f"renderer fwd+bwd Mpixels/s/chip ({N_PLANES} planes, {RES}^2)",
+    mpix_per_s = (res * res) / 1e6 / best
+    return {
+        "metric": f"renderer fwd+bwd Mpixels/s/chip ({n_planes} planes, {res}^2)",
         "value": round(mpix_per_s, 3),
         "unit": "Mpixels/s/chip",
         "vs_baseline": None,
-    }))
+    }
+
+
+def main():
+    try:
+        result = run(N_PLANES, RES, TEX, plane_chunk=16)
+    except Exception:
+        # fall back to a smaller config rather than emitting nothing
+        result = run(32, 512, 512, plane_chunk=8)
+        result["metric"] += " [fallback config]"
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
