@@ -190,3 +190,38 @@ def test_sanity_full_alpha_mode():
                              sanity_full_alpha=True)
     mpi = gen.sample_mpi(seed=0)
     np.testing.assert_array_equal(np.asarray(mpi[:, :, 3]), 1.0)
+
+
+def test_render_video_artifacts_end_to_end(tmp_path):
+    """Full viz pipeline on a tiny generator: frames, sheets, video/frames."""
+    import dataclasses
+
+    from gmpi_tpu.config import ExperimentConfig, ModelPreset, PlaneConfig, StepHparams, TrainHparams
+    from gmpi_tpu.core.poses import SphereCameraConfig
+    from gmpi_tpu.viz.render_video import render_camera_path, save_mpi_sheets, save_video
+
+    cfg = ExperimentConfig(
+        name="t", resolution=16, fov_deg=12.6,
+        camera=SphereCameraConfig(1.0, 1.0, 0.0, 0.289, 0.0, 0.127),
+        planes=PlaneConfig(n_planes=4, min_d=0.95, max_d=1.12),
+        hparams=StepHparams(2, 16, 16, 1, 2e-3, 2e-3),
+        train=TrainHparams(z_dim=32, w_dim=32),
+        model=ModelPreset(channel_base=512, channel_max=32, num_bf16_res=0,
+                          conv_clamp=None, gen_alpha_largest_res=16, mbstd_group_size=1),
+    )
+    import jax as _jax
+
+    params, buffers = cfg.generator_cfg().init(_jax.random.key(0))
+    frames, depths, mpi = render_camera_path(
+        cfg, params, buffers, seed=0, n_frames=3, n_planes=4, img_size=16,
+        chunk_n_planes=2, render_plane_chunk=2,
+    )
+    assert frames.shape == (3, 16, 16, 3) and frames.dtype == np.uint8
+    assert depths.shape == (3, 16, 16)
+    assert mpi.shape == (4, 4, 16, 16)
+
+    save_mpi_sheets(str(tmp_path), mpi)
+    assert (tmp_path / "mpi_rgb.png").exists()
+    assert (tmp_path / "mpi_alpha.png").exists()
+    out = save_video(str(tmp_path / "rgb.mp4"), frames, fps=5)
+    assert os.path.exists(out)
