@@ -138,3 +138,19 @@ def test_adjoint_vjp_matches_autodiff():
         np.asarray(fn(tex, grid)), np.asarray(grid_sample_bilinear(tex, grid)),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_pallas_patch_backend_interpret():
+    """Pallas DMA patch-gather backend (interpret mode) matches the XLA path;
+    bands carry the DMA alignment slack."""
+    rng = np.random.default_rng(9)
+    grid = _homography_grids(n_views=1, n_planes=4, img=64)
+    n = grid.shape[0]
+    tex = jnp.asarray(rng.random((n, 4, 64, 64)).astype(np.float32))
+    by, bx = required_bands(tex.shape, grid, tile=(8, 64))
+    by_a = ((int(by) + 62) // 32) * 32
+    bx_a = ((int(bx) + 14) // 8) * 8
+    ref = grid_sample_bilinear(tex, grid)
+    out = grid_sample_tiled(tex, grid, by_a, bx_a, tile=(8, 64),
+                            patch_backend="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
