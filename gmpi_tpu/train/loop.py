@@ -103,6 +103,12 @@ def train(
     logger = MetricLogger(out_dir)
 
     state = init_train_state(cfg, jax.random.key(seed))
+    # startup introspection (``misc.print_module_summary`` analogue)
+    from gmpi_tpu.utils.inspect import param_summary
+
+    _, n_g = param_summary(state.params_g)
+    _, n_d = param_summary(state.params_d)
+    print(f"[model] generator params: {n_g:,}  discriminator params: {n_d:,}", flush=True)
     # warm start (``train.py:197-230``): partial name-matched absorption
     if init_params_g is not None:
         state = state._replace(
