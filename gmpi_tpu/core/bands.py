@@ -70,7 +70,8 @@ def estimate_bands(
     if check_monotone(tex_shape, grid):
         # adjoint runs on taller texture tiles (32 rows) to amortize band
         # slicing overlap
-        atile = (32 if img_h % 32 == 0 else tile[0], tile[1])
+        atile = (32 if img_h % 32 == 0 else tile[0],
+                 256 if img_w % 256 == 0 else tile[1])
         pbr, pbc = required_output_bands(tex_shape, grid, tile=atile)
         pbr = _round_up(int(np.ceil(pbr * margin)))
         pbc = _round_up(int(np.ceil(pbc * margin)))
