@@ -76,6 +76,13 @@ class TrainHparams:
     # plane-chunked rendering inside the train step (memory relief at 1024²;
     # None = unchunked)
     renderer_plane_chunk: Optional[int] = None
+    # edge-aware depth smoothness loss on rendered (rgb, depth)
+    # (``configs/gmpi.yml:51-56``; the reference defines the loss but its
+    # train path raises NotImplementedError — we support it)
+    use_edge_aware_loss: bool = False
+    edge_aware_loss_w: float = 1.0
+    edge_aware_loss_e_min: float = 0.05
+    edge_aware_loss_g_min: float = 0.01
 
 
 @dataclasses.dataclass(frozen=True)

@@ -154,7 +154,7 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
                         jnp.clip(step - t.lighting_start_iter, 0, None), rng)
         return jnp.where(step > t.lighting_start_iter, lit, mpi)
 
-    def render_views(mpi, yaws, pitches):
+    def render_views(mpi, yaws, pitches, with_depth=False):
         """Render each MPI into its camera; returns imgs in [-1,1] + flat pose."""
         c2w, _, _ = poses_mod.sample_sphere_poses(
             None, mpi.shape[0], cfg.camera, given_yaws=yaws, given_pitches=pitches
@@ -171,6 +171,8 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
                              tiled_bands=tiled_bands)
         imgs = out.color * 2.0 - 1.0  # ``mpi_renderer.py:467``
         flat_pose = flat_pose_from_c2w(c2w, t.d_cond_pose_dim) if t.d_cond_on_pose else None
+        if with_depth:
+            return imgs, flat_pose, out.depth
         return imgs, flat_pose
 
     def sample_views(rng, n):
@@ -242,9 +244,16 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
                 sl = slice(s * mbs, (s + 1) * mbs)
                 mpi = synth(params_g, state.buffers_g, z[sl], noise_keys[s])
                 mpi = maybe_light(mpi, state.step, light_keys[s])
-                imgs, flat_pose = render_views(mpi, yaws[sl], pitches[sl])
+                imgs, flat_pose, depth = render_views(mpi, yaws[sl], pitches[sl], with_depth=True)
                 scores = d_apply(state.params_d, imgs, flat_pose)
-                total = total + g_gan_loss(scores) / batch_split
+                loss_s = g_gan_loss(scores)
+                if t.use_edge_aware_loss:
+                    from gmpi_tpu.utils.img import edge_aware_smooth_loss
+
+                    loss_s = loss_s + t.edge_aware_loss_w * edge_aware_smooth_loss(
+                        imgs, depth, t.edge_aware_loss_e_min, t.edge_aware_loss_g_min
+                    )
+                total = total + loss_s / batch_split
             return total
 
         g_loss, grads = jax.value_and_grad(g_loss_fn)(state.params_g)

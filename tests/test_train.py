@@ -123,3 +123,17 @@ def test_train_step_with_plane_chunked_renderer():
     _, metrics = step_fn(state, real, pose, jax.random.key(1))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_edge_aware_loss_in_g_phase():
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, use_edge_aware_loss=True, edge_aware_loss_w=0.5))
+    state = init_train_state(cfg, jax.random.key(0))
+    step_fn = make_train_step(cfg, donate=False)
+    rng = np.random.default_rng(0)
+    real = jnp.asarray(rng.uniform(-1, 1, (4, 3, 16, 16)).astype(np.float32))
+    pose = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    _, metrics = step_fn(state, real, pose, jax.random.key(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
