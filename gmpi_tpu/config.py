@@ -57,6 +57,8 @@ class TrainHparams:
     w_dim: int = 512
     n_view_per_z: int = 4
     select_worst_view: bool = True
+    g_iters: int = 1  # G updates per D update (``configs/gmpi.yml:66``)
+    train_d: bool = True  # ``configs/gmpi.yml:61`` D_train
     ema_decay: float = 0.999
     ema2_decay: float = 0.9999
     d_cond_on_pose: bool = True
@@ -106,6 +108,10 @@ class ModelPreset:
     conv_clamp: Optional[float] = 256.0
     cmap_dim: int = 16
     mbstd_group_size: int = 4
+    # xyz conditioning-grid options (``configs/gmpi.yml:36-38``)
+    xyz_ztype: str = "depth"  # "depth" | "disparity"
+    use_normalized_xyz: bool = True
+    normalized_xyz_range: str = "01"  # "01" | "-11"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,6 +125,18 @@ class ExperimentConfig:
     model: ModelPreset
     fov_deg: float = 12.6
     eval_n_planes: int = 96  # eval protocol (``eval.sh:51``)
+
+    def multi_res_xyz(self, geom, tex_size: int | None = None):
+        """Conditioning grids with this preset's xyz options
+        (``mpi_renderer.py:159-180``)."""
+        from gmpi_tpu.core.geometry import multi_res_xyz
+
+        return multi_res_xyz(
+            geom, tex_size or self.hparams.tex_size,
+            normalized=self.model.use_normalized_xyz,
+            value_range=self.model.normalized_xyz_range,
+            ztype=self.model.xyz_ztype,
+        )
 
     def generator_cfg(self):
         from gmpi_tpu.models.generator import GeneratorCfg, SynthesisNetworkCfg

@@ -260,16 +260,21 @@ def normalize_xyz(
 
 
 def multi_res_xyz(
-    geom: PlaneGeometry, tex_size: int, normalized: bool = True, value_range: str = "01"
+    geom: PlaneGeometry, tex_size: int, normalized: bool = True, value_range: str = "01",
+    ztype: str = "depth",
 ):
     """Dict res -> ``[L, res, res, 3]`` for every synthesis resolution
     4..tex_size (``MPIRenderer.get_xyz(ret_single_res=False)``,
-    ``mpi_renderer.py:159-180``)."""
+    ``mpi_renderer.py:159-180``).  ``ztype="disparity"`` conditions on 1/z
+    (``use_xyz_ztype``, ``mpi_renderer.py:173-178``)."""
     assert tex_size >= 4 and (tex_size & (tex_size - 1)) == 0
+    assert ztype in ("depth", "disparity"), ztype
     out = {}
     res = 4
     while res <= tex_size:
         xyz = plane_xyz_grid(geom, res, res)
+        if ztype == "disparity":
+            xyz = xyz.at[..., 2].set(1.0 / xyz[..., 2])
         out[res] = normalize_xyz(geom, xyz, value_range) if normalized else xyz
         res *= 2
     return out

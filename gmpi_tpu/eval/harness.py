@@ -93,7 +93,7 @@ class FakeImageGenerator:
 
         eval_cfg = _dc.replace(cfg, planes=_dc.replace(cfg.planes, n_planes=self.n_planes))
         self.geom = eval_cfg.plane_geometry()
-        self.xyz_dict = geom_mod.multi_res_xyz(self.geom, cfg.hparams.tex_size)
+        self.xyz_dict = cfg.multi_res_xyz(self.geom)
         self.intr = cam.intrinsics_from_fov(cfg.fov_deg, self.img_size, self.img_size)
 
         from gmpi_tpu.core.bands import bands_for_config

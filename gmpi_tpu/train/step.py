@@ -117,7 +117,7 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
     gen_cfg = cfg.generator_cfg()
     disc_cfg = cfg.discriminator_cfg()
     geom = cfg.plane_geometry()
-    xyz_dict = geom_mod.multi_res_xyz(geom, cfg.hparams.tex_size)
+    xyz_dict = cfg.multi_res_xyz(geom)
     intr = cam.intrinsics_from_fov(cfg.fov_deg, cfg.hparams.img_size, cfg.hparams.img_size)
     t = cfg.train
     n_planes = cfg.planes.n_planes
@@ -202,9 +202,11 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
             return loss_real + loss_fake + r1, (loss_real, loss_fake, r1)
 
         (d_loss, (loss_real, loss_fake, r1)), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.params_d)
+        metrics = {"d_loss": d_loss, "d_loss_real": loss_real, "d_loss_fake": loss_fake, "r1": r1}
+        if not t.train_d:  # frozen D: losses reported, no update
+            return state, metrics
         updates, new_opt_d = opt_d.update(grads, state.opt_d, state.params_d)
         new_params_d = optax.apply_updates(state.params_d, updates)
-        metrics = {"d_loss": d_loss, "d_loss_real": loss_real, "d_loss_fake": loss_fake, "r1": r1}
         return state._replace(params_d=new_params_d, opt_d=new_opt_d), metrics
 
     # -- G phase -------------------------------------------------------------
@@ -283,7 +285,9 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
         ``real_pose`` the dataset's flat w2c conditioning vector."""
         rng_d, rng_g = jax.random.split(rng)
         state, d_metrics = d_phase(state, real_imgs, real_pose, rng_d)
-        state, g_metrics = g_phase(state, rng_g, real_imgs.shape[0])
+        # G updates per D update (``G_iters``, ``train.py:637``)
+        for gi in range(t.g_iters):
+            state, g_metrics = g_phase(state, jax.random.fold_in(rng_g, gi), real_imgs.shape[0])
         state = state._replace(step=state.step + 1)
         return state, {**d_metrics, **g_metrics}
 

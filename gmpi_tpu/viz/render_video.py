@@ -63,7 +63,7 @@ def render_camera_path(
     gen_cfg = cfg.generator_cfg()
     eval_cfg = _dc.replace(cfg, planes=_dc.replace(cfg.planes, n_planes=n_planes))
     geom = eval_cfg.plane_geometry()
-    xyz_dict = geom_mod.multi_res_xyz(geom, cfg.hparams.tex_size)
+    xyz_dict = cfg.multi_res_xyz(geom)
     intr = cam.intrinsics_from_fov(cfg.fov_deg, img_size, img_size)
 
     z = jax.random.normal(jax.random.key(seed), (1, cfg.train.z_dim), jnp.float32)

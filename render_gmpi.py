@@ -63,7 +63,7 @@ def main():
             ),
         )
         geom = mesh_cfg.plane_geometry()
-        xyz = geom_mod.multi_res_xyz(geom, cfg.hparams.tex_size)
+        xyz = cfg.multi_res_xyz(geom)
         z = jax.random.normal(jax.random.key(args.seed), (1, cfg.train.z_dim), jnp.float32)
         mpi = generate_mpi(cfg.generator_cfg(), state.ema, state.buffers_g, z, xyz,
                            args.mesh_planes, chunk_n_planes=args.chunk_n_planes,

@@ -137,3 +137,31 @@ def test_edge_aware_loss_in_g_phase():
     _, metrics = step_fn(state, real, pose, jax.random.key(1))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_frozen_d_and_g_iters():
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, train_d=False, g_iters=2))
+    state = init_train_state(cfg, jax.random.key(0))
+    step_fn = make_train_step(cfg, donate=False)
+    rng = np.random.default_rng(0)
+    real = jnp.asarray(rng.uniform(-1, 1, (4, 3, 16, 16)).astype(np.float32))
+    pose = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    new_state, metrics = step_fn(state, real, pose, jax.random.key(1))
+    # D unchanged, G moved
+    for a, b in zip(jax.tree_util.tree_leaves(state.params_d),
+                    jax.tree_util.tree_leaves(new_state.params_d)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    moved = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+        jax.tree_util.tree_leaves(state.params_g), jax.tree_util.tree_leaves(new_state.params_g)))
+    assert moved > 0
+
+
+def test_disparity_ztype_conditioning():
+    from gmpi_tpu.core.geometry import multi_res_xyz
+
+    geom = __import__("tests.test_models", fromlist=["tiny_geometry"]).tiny_geometry(4)
+    xyz_d = multi_res_xyz(geom, 16, normalized=False, ztype="depth")
+    xyz_i = multi_res_xyz(geom, 16, normalized=False, ztype="disparity")
+    np.testing.assert_allclose(np.asarray(xyz_i[16][..., 2]),
+                               1.0 / np.asarray(xyz_d[16][..., 2]), rtol=1e-6)
