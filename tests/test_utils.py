@@ -187,3 +187,35 @@ def test_preprocess_landmarks_and_xflip(tmp_path):
     ok, failed = prepare_landmarks(str(src), str(tmp_path / "lm"), detect)
     assert ok + failed == 3
     assert (tmp_path / "lm" / "fail_list.txt").exists()
+
+
+def test_mpi_from_plane_images():
+    from gmpi_tpu.utils.toy_mpi import mpi_from_plane_images
+
+    rng = np.random.default_rng(0)
+    back = (rng.uniform(0, 255, (16, 16, 4))).astype(np.uint8)
+    back[..., 3] = 255
+    front = np.zeros((16, 16, 4), np.uint8)
+    front[4:8, 6:12] = 200  # small opaque patch
+    rgba, dhw, fg = mpi_from_plane_images([back, front], dmin=1.0, dmax=4.0)
+    assert rgba.shape == (2, 4, 16, 16) and dhw.shape == (2, 3)
+    # front-to-back ordering: plane 0 is the (formerly last) front image
+    np.testing.assert_allclose(rgba[0], front.transpose(2, 0, 1) / 255.0)
+    assert dhw[0, 0] < dhw[1, 0]  # sorted near -> far
+    np.testing.assert_allclose(dhw[:, 2], 1.3 * dhw[:, 0])
+    assert fg == {"min_row": 4, "max_row": 7, "min_col": 6, "max_col": 11}
+
+
+def test_mpi_from_content_images_renders():
+    from gmpi_tpu.utils.toy_mpi import mpi_from_content_images
+
+    sq = np.zeros((8, 8, 4), np.uint8)
+    sq[...] = (255, 0, 0, 255)
+    rgba, dhw = mpi_from_content_images(
+        32, [sq, None], [(16, 16), None], positions=[(8, 8), None], dmin=1.0, dmax=2.0
+    )
+    assert rgba.shape == (2, 4, 32, 32)
+    np.testing.assert_allclose(rgba[0, 0, 8:24, 8:24], 1.0)  # pasted red, resized 2x
+    np.testing.assert_allclose(rgba[0, 3, 8:24, 8:24], 1.0)
+    assert rgba[0, 3, :8].max() == 0.0
+    np.testing.assert_allclose(rgba[1, 3], 1.0)  # opaque background plane
