@@ -73,7 +73,7 @@ def required_bands(
 
 
 def _warp_row_tiles(texf, fx_row, fy_row, band_y, band_x, pad_y, pad_x, h, w, c, tile_r, tile_c,
-                    patch_backend="xla", interpret=False):
+                    patch_backend="xla", interpret=False, compute_dtype=None):
     """Warp one row of tiles: fx/fy [N, ntx, tile_r, tile_c] -> [N, ntx, P, C].
 
     ``texf`` is the x-major fused texture [N, Wp, Hp*C] — patches slice out
@@ -114,9 +114,15 @@ def _warp_row_tiles(texf, fx_row, fy_row, band_y, band_x, pad_y, pad_x, h, w, c,
     hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(ty_rel - iy))  # [N, ntx, P, B_y]
     hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(tx_rel - ix))  # [N, ntx, P, B_x]
 
-    mixed = jnp.einsum("...px,...xm->...pm", hat_x, pm)  # [N, ntx, P, B_y*C]
+    if compute_dtype is not None:
+        # fast mode: bf16 operands, fp32 MXU accumulation (~4e-3 rel error)
+        hat_x = hat_x.astype(compute_dtype)
+        hat_y = hat_y.astype(compute_dtype)
+        pm = pm.astype(compute_dtype)
+    mixed = jnp.einsum("...px,...xm->...pm", hat_x, pm,
+                       preferred_element_type=jnp.float32)  # [N, ntx, P, B_y*C]
     mixed = mixed.reshape(n, ntx, p_tile, band_y, c)
-    return jnp.einsum("...py,...pyc->...pc", hat_y, mixed)  # [N, ntx, P, C]
+    return jnp.einsum("...py,...pyc->...pc", hat_y.astype(mixed.dtype), mixed)  # [N, ntx, P, C]
 
 
 def grid_sample_tiled(
@@ -130,6 +136,7 @@ def grid_sample_tiled(
     rows_per_step: int = 1,
     patch_backend: str = "xla",
     interpret: bool = False,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Bilinear sample with zeros padding; returns [N, C, Ho, Wo].
 
@@ -164,7 +171,10 @@ def grid_sample_tiled(
     if patch_backend == "pallas":
         y_align = max(1, 128 // c)
         assert band_y % y_align == 0 and band_x % 8 == 0, (band_y, band_x)
-    args = (band_y, band_x, pad_y, pad_x, h, w, c, tile_r, tile_c, patch_backend, interpret)
+    if compute_dtype is not None:
+        texl = texl.astype(compute_dtype)  # halves patch HBM traffic too
+    args = (band_y, band_x, pad_y, pad_x, h, w, c, tile_r, tile_c, patch_backend, interpret,
+            compute_dtype)
     if row_scan:
         g = max(1, min(rows_per_step, nty))
         while nty % g:

@@ -154,3 +154,18 @@ def test_pallas_patch_backend_interpret():
     out = grid_sample_tiled(tex, grid, by_a, bx_a, tile=(8, 64),
                             patch_backend="pallas", interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_compute_mode_close_to_f32():
+    """Fast mode: bf16 operands + fp32 MXU accumulation stays within ~1e-2."""
+    rng = np.random.default_rng(3)
+    tex = jnp.asarray(rng.random((2, 4, 64, 64)).astype(np.float32))
+    base = np.stack(
+        np.meshgrid(np.linspace(-0.9, 0.9, 64), np.linspace(-0.9, 0.9, 64), indexing="xy"), -1
+    )
+    grid = jnp.asarray((base[None] + rng.uniform(-0.02, 0.02, (2, 1, 1, 2))).astype(np.float32))
+    by, bx = required_bands(tex.shape, grid, tile=(8, 64))
+    ref = grid_sample_tiled(tex, grid, by, bx, tile=(8, 64))
+    fast = grid_sample_tiled(tex, grid, by, bx, tile=(8, 64), compute_dtype=jnp.bfloat16)
+    assert fast.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=2e-2)
