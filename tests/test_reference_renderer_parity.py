@@ -154,3 +154,27 @@ def test_gradients_allclose_vs_reference_implementation():
 
     g2 = np.asarray(jax.grad(loss_tiled)(jnp.asarray(rgba)))
     np.testing.assert_allclose(g2, grad_ref, rtol=1e-4, atol=1e-4)
+
+
+@needs_reference
+def test_align_corners_false_allclose_vs_reference_implementation():
+    """The 0.95 narrow-scale path (``gmpi/core/mpi.py:15-23,86-99``)."""
+    import torch
+
+    mpi_mod = import_reference("gmpi.core.mpi")
+    geom, rgba, ray_dir, eye, z_dir = _fixture()
+    renderer = mpi_mod.MPI(align_corners=False)
+    v = rgba.shape[0]
+    t = lambda a: torch.from_numpy(np.asarray(a))
+    color_ref, depth_ref = renderer(
+        batch_rgba=torch.from_numpy(rgba),
+        batch_dhw=t(geom.dhw).unsqueeze(0).expand(v, -1, -1),
+        batch_ray_dir=[t(ray_dir[i : i + 1]) for i in range(v)],
+        batch_eye_pos=[t(eye[i : i + 1]) for i in range(v)],
+        batch_z_dir=[t(z_dir[i : i + 1]) for i in range(v)],
+        separate_background=None,
+    )
+
+    out = render_mpi(jnp.asarray(rgba), geom.dhw, ray_dir, eye, z_dir, align_corners=False)
+    np.testing.assert_allclose(np.asarray(out.color), color_ref.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.depth), depth_ref.numpy(), rtol=1e-4, atol=1e-5)
