@@ -60,7 +60,7 @@ def run(n_planes, res, tex, plane_chunk):
     eye_f = jnp.broadcast_to(eye[:, None], (1, n_planes, 3)).reshape(n_planes, 3)
     z_f = jnp.broadcast_to(z_dir[:, None], (1, n_planes, 3)).reshape(n_planes, 3)
     grid, _ = homography_grid(dhw_f, eye_f, ray_f, z_f)
-    by, bx = required_bands((n_planes, 4, tex, tex), grid, tile=(8, 128))
+    by, bx = required_bands((n_planes, 4, tex, tex), grid, tile=(8, 256))
 
     from gmpi_tpu.ops.tiled_warp_adjoint import check_monotone, required_output_bands
 

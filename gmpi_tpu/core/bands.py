@@ -57,7 +57,9 @@ def estimate_bands(
     z_f = jnp.broadcast_to(z_dir[:, None], (v, l, 3)).reshape(v * l, 3)
     grid, _ = homography_grid(dhw, eye_f, ray, z_f)
     if tile is None:
-        tile = (8 if img_h % 8 == 0 else 1, 128 if img_w % 128 == 0 else img_w)
+        # must mirror core/renderer._sample's tile heuristic
+        tile = (8 if img_h % 8 == 0 else 1,
+                256 if img_w % 256 == 0 else 128 if img_w % 128 == 0 else img_w)
     tex_shape = (v * l, 4, img_h, img_w)  # texture assumed img-sized
     by, bx = required_bands(tex_shape, grid, tile=tile)
     by = _round_up(int(np.ceil(by * margin)))

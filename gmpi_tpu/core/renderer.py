@@ -107,12 +107,15 @@ def _sample(rgba, grid, align_corners, tiled_bands, patch_backend="xla"):
 
     band_y, band_x = tiled_bands[0], tiled_bands[1]
     h, w = grid.shape[1], grid.shape[2]
-    tile = (8 if h % 8 == 0 else 1, 128 if w % 128 == 0 else w)
+    # 256-wide tiles measured ~15% faster than 128 at 96x1024^2 on v5e
+    # (fewer patch slices; see docs/DESIGN.md round-1 perf record)
+    tile = (8 if h % 8 == 0 else 1,
+            256 if w % 256 == 0 else 128 if w % 128 == 0 else w)
     # large images: scan over tile-row groups to bound live hat/patch memory
     nty = h // tile[0]
     row_scan = nty > 32
-    # aim for ~32 scan steps, capped so per-step hat memory stays moderate
-    rows_per_step = max(1, nty // 32) if row_scan else 1
+    # ~64 scan steps measured best (rows_per_step=2 at 1024^2)
+    rows_per_step = max(1, nty // 64) if row_scan else 1
     if patch_backend == "pallas":
         # DMA patch gather needs tile-aligned starts; bands carry the slack
         c = rgba.shape[1]
