@@ -65,7 +65,7 @@ def run(n_planes, res, tex, plane_chunk):
     from gmpi_tpu.ops.tiled_warp_adjoint import check_monotone, required_output_bands
 
     if check_monotone((n_planes, 4, tex, tex), grid):
-        pbr, pbc = required_output_bands((n_planes, 4, tex, tex), grid, tile=(32, 256))
+        pbr, pbc = required_output_bands((n_planes, 4, tex, tex), grid, tile=(32, 512))
         bands = (int(by), int(bx), int(pbr) + 4, int(pbc) + 8)
     else:
         bands = (int(by), int(bx))

@@ -72,8 +72,10 @@ def estimate_bands(
     if check_monotone(tex_shape, grid):
         # adjoint runs on taller texture tiles (32 rows) to amortize band
         # slicing overlap
+        # 512-wide adjoint tiles amortize the static band margin (measured
+        # 864 -> 534 ms at 96x1024^2 on v5e; see docs/DESIGN.md)
         atile = (32 if img_h % 32 == 0 else tile[0],
-                 256 if img_w % 256 == 0 else tile[1])
+                 512 if img_w % 512 == 0 else 256 if img_w % 256 == 0 else tile[1])
         pbr, pbc = required_output_bands(tex_shape, grid, tile=atile)
         pbr = _round_up(int(np.ceil(pbr * margin)))
         pbc = _round_up(int(np.ceil(pbc * margin)))

@@ -211,7 +211,8 @@ def make_tiled_warp_with_adjoint(
     align_corners: bool = True,
     row_scan: bool = False,
     rows_per_step: int = 1,
-    adjoint_tile: Tuple[int, int] = (32, 256),
+    adjoint_tile: Tuple[int, int] = (32, 512),
+    adjoint_rows_per_step: int = 1,
     patch_backend: str = "xla",
 ):
     """Tiled warp with the exact scatter-free adjoint as its VJP.
@@ -242,12 +243,13 @@ def make_tiled_warp_with_adjoint(
         th, tw = tex_shape[2], tex_shape[3]
         atile = (
             adjoint_tile[0] if th % adjoint_tile[0] == 0 else (8 if th % 8 == 0 else 1),
-            adjoint_tile[1] if tw % adjoint_tile[1] == 0 else (128 if tw % 128 == 0 else tw),
+            adjoint_tile[1] if tw % adjoint_tile[1] == 0 else
+            (256 if tw % 256 == 0 else 128 if tw % 128 == 0 else tw),
         )
         d_tex = grid_sample_tiled_adjoint(
             cot, grid, tex_shape, pbr, pbc, tile=atile,
             align_corners=align_corners, row_scan=row_scan,
-            rows_per_step=rows_per_step,
+            rows_per_step=adjoint_rows_per_step,
         )
         return d_tex, None
 
