@@ -60,15 +60,22 @@ def run(n_planes, res, tex, plane_chunk):
     eye_f = jnp.broadcast_to(eye[:, None], (1, n_planes, 3)).reshape(n_planes, 3)
     z_f = jnp.broadcast_to(z_dir[:, None], (1, n_planes, 3)).reshape(n_planes, 3)
     grid, _ = homography_grid(dhw_f, eye_f, ray_f, z_f)
-    by, bx = required_bands((n_planes, 4, tex, tex), grid, tile=(8, 256))
 
     from gmpi_tpu.ops.tiled_warp_adjoint import check_monotone, required_output_bands
 
-    if check_monotone((n_planes, 4, tex, tex), grid):
-        pbr, pbc = required_output_bands((n_planes, 4, tex, tex), grid, tile=(32, 512))
-        bands = (int(by), int(bx), int(pbr) + 4, int(pbc) + 8)
-    else:
-        bands = (int(by), int(bx))
+    monotone = check_monotone((n_planes, 4, tex, tex), grid)
+    # per-chunk bands: plane extents grow front-to-back, so near slabs use
+    # much smaller bands than the all-plane worst case
+    bands = []
+    for k in range(n_planes // plane_chunk):
+        g_k = grid[k * plane_chunk : (k + 1) * plane_chunk]
+        shape_k = (plane_chunk, 4, tex, tex)
+        by, bx = required_bands(shape_k, g_k, tile=(8, 256))
+        if monotone:
+            pbr, pbc = required_output_bands(shape_k, g_k, tile=(32, 512))
+            bands.append((int(by), int(bx), int(pbr) + 4, int(pbc) + 8))
+        else:
+            bands.append((int(by), int(bx)))
 
     def loss(x):
         out = render_mpi_chunked(

@@ -329,6 +329,28 @@ def render_mpi_chunked(
 
     h, w = ray_dir.shape[2], ray_dir.shape[3]
 
+    init = (
+        jnp.zeros((v, 3, h, w), jnp.float32),
+        jnp.zeros((v, 1, h, w), jnp.float32),
+        jnp.ones((v, 1, h, w), jnp.float32),
+    )
+
+    if tiled_bands is not None and len(tiled_bands) > 0 and isinstance(tiled_bands[0], (tuple, list)):
+        # per-chunk bands: plane extents grow front-to-back, so near slabs
+        # warp/splat with much smaller bands than the all-plane worst case
+        # (warp FLOPs scale with band area).  Chunks unroll in Python —
+        # one compiled slab body per distinct band set.
+        assert len(tiled_bands) == n_chunks, (len(tiled_bands), n_chunks)
+        carry = init
+        for k in range(n_chunks):
+            fn = lambda r, d, b=tuple(tiled_bands[k]): render_slab_partial(
+                r, d, ray_dir, eye_pos, z_dir, align_corners, b, patch_backend)
+            if remat:
+                fn = jax.checkpoint(fn)
+            carry = combine_segments(carry, fn(rgba_c[k], dhw_c[k]))
+        color, depth, _ = carry
+        return RenderOutput(color=color, depth=depth)
+
     slab_fn = render_slab_partial
     if remat:
         slab_fn = jax.checkpoint(
@@ -345,11 +367,6 @@ def render_mpi_chunked(
                           tiled_bands, patch_backend)
         return combine_segments(carry, out), None
 
-    init = (
-        jnp.zeros((v, 3, h, w), jnp.float32),
-        jnp.zeros((v, 1, h, w), jnp.float32),
-        jnp.ones((v, 1, h, w), jnp.float32),
-    )
     (color, depth, _), _ = lax.scan(body, init, (rgba_c, dhw_c))
     return RenderOutput(color=color, depth=depth)
 
