@@ -88,9 +88,11 @@ def run(n_planes, res, tex, plane_chunk):
 
     @jax.jit
     def bench_step(x):
-        # in-graph iteration: amortizes host<->device round-trip overhead
+        # in-graph iteration: amortizes host<->device round-trip overhead.
+        # the carry feeds the input through a non-constant-foldable term so
+        # XLA cannot hoist the gradient out of the loop (x + acc*0.0 folds).
         def body(i, acc):
-            g = grad_fn(x + acc * 0.0)
+            g = grad_fn(x + acc * 1e-30)
             return acc + g.ravel()[0]
         return jax.lax.fori_loop(0, INNER_ITERS, body, jnp.zeros((), jnp.float32))
 
