@@ -402,6 +402,58 @@ def render_slab_partial(
     return composite_partial(rgb, alpha, depth)
 
 
+def plan_fused(
+    dhw: jnp.ndarray,
+    ray_dir,
+    eye_pos,
+    z_dir,
+    tex_h: int,
+    tex_w: int,
+    margin: int = 2,
+):
+    """Host-side planning for the fused Pallas renderer: per-chunk forward
+    bands (:func:`gmpi_tpu.ops.pallas_warp.plan_fused_render`) and matching
+    adjoint bands.  Returns a hashable ``(plan, adj_plan)`` pair for
+    :func:`render_mpi_fused`.  Must be called outside jit with concrete pose
+    arrays; for training, pass poses at the truncation-range corners so the
+    static bands cover every pose the sampler can draw.
+    """
+    from gmpi_tpu.ops import pallas_warp as pw
+
+    scal = jax.vmap(lambda e: pw.plane_affine(dhw, e, tex_h, tex_w))(eye_pos)
+    rx, ry, _ = pw.ray_fields(jnp.asarray(ray_dir, jnp.float32),
+                              jnp.asarray(z_dir, jnp.float32))
+    plan = pw.plan_fused_render(scal, rx, ry, margin=margin)
+    adj = pw.plan_adjoint(scal, rx, ry, plan, tex_h, tex_w, margin=margin)
+    plan = tuple((int(lo), int(hi), b) for lo, hi, b in plan)
+    return plan, tuple(adj)
+
+
+def render_mpi_fused(
+    rgba: jnp.ndarray,
+    dhw: jnp.ndarray,
+    ray_dir: jnp.ndarray,
+    eye_pos: jnp.ndarray,
+    z_dir: jnp.ndarray,
+    plans,
+    early_out: bool = True,
+) -> RenderOutput:
+    """Render with the fused Pallas warp+composite kernel (TPU fast path).
+
+    Same semantics as :func:`render_mpi` (stop-gradient pose, gradients to
+    RGBA only, fp32) with an exact custom VJP; ``plans`` comes from
+    :func:`plan_fused`.  ~10x the banded-XLA formulation at 96x1024^2.
+    """
+    from gmpi_tpu.ops.pallas_warp import make_fused_renderer
+
+    plan, adj_plan = plans
+    tex_h, tex_w = rgba.shape[-2], rgba.shape[-1]
+    fn = make_fused_renderer(plan, adj_plan, tex_h, tex_w, early_out=early_out)
+    color, depth, _ = fn(rgba.astype(jnp.float32), dhw.astype(jnp.float32),
+                         ray_dir, eye_pos, z_dir)
+    return RenderOutput(color=color, depth=depth)
+
+
 def check_rays_hit_last_plane(
     dhw_last: jnp.ndarray,
     eye_pos: jnp.ndarray,

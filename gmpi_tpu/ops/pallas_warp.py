@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 PAD = 8            # zero-pad texels on each texture edge (x left)
 STRIP = 16         # output rows per grid step
 PADY_TOP = PAD + STRIP   # diagonal row base can sit up to STRIP above row 0
-PADY_BOT = 72            # DMA window never clamps: requires by_pad <= PADY_BOT
+PADY_BOT = 96            # DMA window never clamps: requires by_pad <= PADY_BOT
 LANES = 128        # output pixels per tile
 WIN_X = 256        # rebased window lanes (covers 128*s + D_X)
 WIN_SRC = 512      # static window sliced from the strip before rolling
@@ -150,10 +150,14 @@ def _plane_spans(scal, rx, ry):
 
 def _bands_from_spans(span_x, span_y, span_y_strip, margin: int = 2) -> FusedBands:
     d_x = int(np.ceil(max(span_x))) + 3 + margin
-    # window starts are 8-aligned: dy carries the slack
-    d_y = int(np.ceil(max(span_y))) + 3 + margin + 8
-    by_pad = STRIP + int(np.ceil(max(span_y_strip))) + 3 + margin + 16
-    by_pad = max(by_pad, STRIP + d_y + 8)
+    # window rows are rebased exactly via a sublane roll — no 8-align slack
+    d_y = int(np.ceil(max(span_y))) + 3 + margin
+    # the kernel slices rwp = round8(16 + d_y + 8) rows and clips the window
+    # start to [0, by_pad - rwp]; size by_pad so the clip never binds
+    rw = STRIP + d_y
+    rwp = ((rw + 8 + 7) // 8) * 8
+    by_pad = STRIP + int(np.ceil(max(span_y_strip))) + 3 + margin + (rwp - rw) + 16
+    by_pad = max(by_pad, rwp + 8)
     by_pad = ((by_pad + 7) // 8) * 8
     return FusedBands(d_x=d_x, d_y=d_y, by_pad=by_pad)
 
@@ -165,38 +169,43 @@ def estimate_fused_bands(scal, rx, ry, margin: int = 2) -> FusedBands:
     return _bands_from_spans(sx, sy, sys_, margin)
 
 
-def plan_fused_render(scal, rx, ry, margin: int = 2, max_chunks: int = 8,
-                      grow_factor: float = 1.35):
-    """Adaptive plane chunking for the fused renderer (host helper).
+def plan_fused_render(scal, rx, ry, margin: int = 2, max_chunks: int = 14,
+                      overhead: float = 400.0):
+    """Optimal plane chunking for the fused renderer (host helper).
 
-    Groups contiguous planes so each chunk's static tap loops fit its
-    planes' actual diagonal spans — the background plane (huge extents,
-    warp slope ~0.5) gets its own small chunk instead of inflating
-    everyone's ``d_x``.  Returns ``[(lo, hi, FusedBands), ...]``.
+    The kernel cost per (plane, tile) is ``d_x * (4*d_y + 7)`` vector ops
+    with the chunk's *worst-case* bands, so grouping planes with different
+    warp slopes inflates everyone's tap loops.  A DP segmentation minimizes
+    ``sum_chunks planes * d_x * (4*d_y + 7) + overhead`` (overhead models
+    per-chunk kernel launch + compile pressure); the chunk count is capped
+    by escalating the overhead term.  Returns ``[(lo, hi, FusedBands), ...]``.
     """
     sx, sy, sys_ = _plane_spans(scal, rx, ry)
     n_l = len(sx)
-    cost = (sx + 5) * (sy + 13)  # relative per-plane tap cost
-    bounds = [0]
-    cur = cost[0]
-    for l in range(1, n_l):
-        if cost[l] > cur * grow_factor or cur > cost[l] * grow_factor:
-            bounds.append(l)
-            cur = cost[l]
-        else:
-            cur = max(cur, cost[l])
-    bounds.append(n_l)
-    # cap chunk count by merging cheapest-adjacent boundaries
-    while len(bounds) - 1 > max_chunks:
-        best_i, best_pen = 1, None
-        for bi in range(1, len(bounds) - 1):
-            lo, mid, hi = bounds[bi - 1], bounds[bi], bounds[bi + 1]
-            merged = (hi - lo) * cost[lo:hi].max()
-            split = (mid - lo) * cost[lo:mid].max() + (hi - mid) * cost[mid:hi].max()
-            pen = merged - split
-            if best_pen is None or pen < best_pen:
-                best_i, best_pen = bi, pen
-        bounds.pop(best_i)
+
+    def chunk_cost(lo, hi, ov):
+        d_x = int(np.ceil(sx[lo:hi].max())) + 3 + margin
+        d_y = int(np.ceil(sy[lo:hi].max())) + 3 + margin
+        return (hi - lo) * d_x * (4 * d_y + 7) + ov
+
+    ov = overhead
+    while True:
+        best = np.full(n_l + 1, np.inf)
+        best[0] = 0.0
+        back = np.zeros(n_l + 1, dtype=int)
+        for hi in range(1, n_l + 1):
+            for lo in range(hi):
+                c = best[lo] + chunk_cost(lo, hi, ov)
+                if c < best[hi]:
+                    best[hi] = c
+                    back[hi] = lo
+        bounds = [n_l]
+        while bounds[-1] > 0:
+            bounds.append(int(back[bounds[-1]]))
+        bounds = bounds[::-1]
+        if len(bounds) - 1 <= max_chunks:
+            break
+        ov *= 2.0
     plan = []
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         plan.append((lo, hi, _bands_from_spans(
@@ -216,6 +225,11 @@ def pad_textures(rgba):
     """
     tw = rgba.shape[-1]
     wp = ((tw + 2 * PAD + 127) // 128) * 128
+    if wp < 512:
+        # dynamic lane rotates silently miscompile on v5e for widths that are
+        # not powers of two; the kernel rolls min(512, wp)-wide windows, so
+        # keep wp a power of two below 512 (extra pad columns are zeros)
+        wp = 1 << (wp - 1).bit_length()
     pad = [(0, 0)] * (rgba.ndim - 2) + [(PADY_TOP, PADY_BOT), (PAD, wp - tw - PAD)]
     return jnp.pad(rgba, pad)
 
@@ -227,6 +241,7 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
                 early_out: bool, eps: float):
     d_x, d_y, by_pad = bands.d_x, bands.d_y, bands.by_pad
     rw = STRIP + d_y
+    rwp = ((rw + 8 + 7) // 8) * 8   # sublane rolls need 8-aligned shapes
     wp = tex_ref.shape[3]
     win_src = min(WIN_SRC, wp)
     win_x = min(WIN_X, win_src)
@@ -290,30 +305,47 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
             fy_m = jnp.where(fy < -1.0, 1e9, fy)
             cx = jnp.floor(jnp.min(fx_m - j_iota)).astype(jnp.int32) - 1
             ryb = jnp.floor(jnp.min(fy_m - i_iota)).astype(jnp.int32) - 1
-            # window rows: strip row of texel row r is r + PADY_TOP - y0
-            ry2 = jnp.clip(ryb + PADY_TOP - y0, 0, by_pad - rw)
+            # window rows: strip row of texel row r is r + PADY_TOP - y0.
+            # the slice start is 8-aligned; a sublane roll removes the
+            # remainder so d_y needs no alignment slack
+            ry2 = jnp.clip(ryb + PADY_TOP - y0, 0, by_pad - rwp)
             row0 = pl.multiple_of(slot * by_pad + (ry2 // 8) * 8, 8)
-            ry2a = row0 - slot * by_pad
+            rem = ry2 - (ry2 // 8) * 8
             s0 = min(max(t * LANES - 128, 0), wp - win_src)
-            win = buf[0, :, pl.ds(row0, rw), s0:s0 + win_src]
+            win = buf[0, :, pl.ds(row0, rwp), s0:s0 + win_src]
+            # dynamic sublane rotates need a non-negative shift (negative
+            # shifts silently miscompile on v5e Mosaic)
+            win = pltpu.roll(win, rwp - rem, 1)[:, :rw]
             shift = cx + PAD - s0
             win = pltpu.roll(win, -shift, 2)[:, :, :win_x]
             # rebased fractional coords; pixels sampling left of the texture
             # pad would otherwise hit wrapped window lanes with nonzero hats
             fx_rel = jnp.where(fx < -1.0, -1e9, fx - (cx.astype(f32) + j_iota))
-            fy_rel = fy - ((y0 - PADY_TOP + ry2a).astype(f32) + i_iota)
+            fy_rel = fy - ((y0 - PADY_TOP + ry2).astype(f32) + i_iota)
             wys = [jnp.maximum(0.0, 1.0 - jnp.abs(fy_rel - dy))[None]
                    for dy in range(d_y)]
-            samp = jnp.zeros((4, STRIP, LANES), f32)
-            for dx in range(d_x):
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx_rel - dx))
-                # one lane shift per dx; the dy slices below are sublane
-                # offsets (free addressing on TPU)
-                wsl = win[:, :, dx:dx + LANES]
-                inner = wys[0] * wsl[:, 0:STRIP, :]
-                for dy in range(1, d_y):
-                    inner = inner + wys[dy] * wsl[:, dy:dy + STRIP, :]
-                samp = samp + wx[None] * inner
+            # dx loop: fori over 8-wide static blocks with a roll-by-8 window
+            # step — bounds compile size at large d_x (a fully unrolled dx
+            # loop made Mosaic compiles take tens of minutes)
+            assert d_x <= win_x - LANES - 8, (d_x, win_x)
+            n_dx_steps = (d_x + 7) // 8
+
+            def dx_body(m, carry):
+                samp, win_c = carry
+                dx0 = (m * 8).astype(f32)
+                for dxf in range(8):
+                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx_rel - (dx0 + dxf)))
+                    # lane shift per dx; dy slices are sublane offsets
+                    wsl = win_c[:, :, dxf:dxf + LANES]
+                    inner = wys[0] * wsl[:, 0:STRIP, :]
+                    for dy in range(1, d_y):
+                        inner = inner + wys[dy] * wsl[:, dy:dy + STRIP, :]
+                    samp = samp + wx[None] * inner
+                return samp, pltpu.roll(win_c, win_x - 8, 2)
+
+            samp, _ = lax.fori_loop(
+                0, n_dx_steps, dx_body,
+                (jnp.zeros((4, STRIP, LANES), f32), win))
             parts.append(samp)
         samp_full = jnp.concatenate(parts, axis=2)  # [4, STRIP, W]
         warped_ref[0, pl.ds(l, 1)] = samp_full[None]
@@ -440,6 +472,391 @@ def warp_composite_fwd(
     return color, depth, trans, warped
 
 
+class AdjointBands(NamedTuple):
+    """Static band config of the adjoint (texture-space) kernel."""
+    d_u: int       # pixel-row tap offsets per texel row
+    d_v: int       # pixel-lane tap offsets per texel lane
+    bi_pad: int    # DMA'd pixel rows per texture strip (multiple of 8)
+
+
+PADU = 24   # vertical pixel-field padding for the adjoint: keeps the
+            # diagonal row base non-negative at the image top.  Pad rows
+            # carry ry = -/+1e9 so their fy is far outside every texel's
+            # hat support (self-masking), mirroring zero-pad semantics.
+
+
+def _pad_pixel_rows(rx, ry, g=None, pad_bot: int = PADU):
+    """Pad [V, H, W] ray fields (and optionally [N, 4, H, W] cotangents)
+    by PADU rows on top and ``pad_bot`` below; ry/rx pads are -1e9 above and
+    +1e9 below so fy/fx stay row-monotone and outside all hat supports.
+    Passing ``pad_bot=bi_pad`` guarantees the adjoint's row-band DMA never
+    clamps at the image bottom (the clamp otherwise forces the band to grow
+    unboundedly — see ``_adjoint_bands_from_spans``)."""
+    def pad_field(f):
+        top = jnp.full_like(f[:, :PADU], -1e9)
+        bot = jnp.full_like(f[:, :1], 1e9)
+        bot = jnp.broadcast_to(bot, (f.shape[0], pad_bot, f.shape[2]))
+        return jnp.concatenate([top, f, bot], axis=1)
+
+    rxp = pad_field(rx)
+    ryp = pad_field(ry)
+    if g is None:
+        return rxp, ryp
+    gp = jnp.pad(g, ((0, 0), (0, 0), (PADU, pad_bot), (0, 0)))
+    return rxp, ryp, gp
+
+
+def _adjoint_spans(scal, rx, ry, tex_h, tex_w, margin: int = 2):
+    """Per-plane diagonal spans of the *inverse* warp (host helper).
+
+    Mirrors the adjoint kernel's base definitions: for texture strip t the
+    pixel-row band starts at ``base_t = min_r(imin(t*16+r) - r) - 1`` and the
+    tap loops cover ``du in [0, D_U)``, ``dv in [0, D_V)``.  Returns arrays
+    ``(d_u [L], d_v [L], bi [L])`` (bi = rows the strip DMA must cover).
+    """
+    scal = np.asarray(scal)
+    rx = np.asarray(rx)
+    ry = np.asarray(ry)
+    if scal.ndim == 2:
+        scal = scal[None]
+    # mirror the kernel's vertical pixel-field padding (see _pad_pixel_rows)
+    def pad_np(f):
+        top = np.full_like(f[:, :PADU], -1e9)
+        bot = np.full_like(f[:, :PADU], 1e9)
+        return np.concatenate([top, f, bot], axis=1)
+
+    rx = pad_np(rx)
+    ry = pad_np(ry)
+    v, h, w = rx.shape
+    n_l = scal.shape[1]
+    n_strips = tex_h // STRIP
+    n_tiles_t = (tex_w + LANES - 1) // LANES
+    r_off = np.arange(STRIP)
+    us = np.arange(n_strips * STRIP, dtype=np.float64)
+    j_full = np.arange(w, dtype=np.float64)[None, :]
+    d_v = np.zeros(n_l, dtype=int)
+    # per-plane lists of (base_t, hi_t) over valid strips, for the chunk-level
+    # clip-aware d_u fixpoint in _adjoint_bands_from_spans
+    row_spans = [[] for _ in range(n_l)]
+
+    for vi in range(v):
+        for l in range(n_l):
+            s = scal[vi, l]
+            fy_rmin = s[2] * ry[vi].min(axis=1) + s[3]
+            fy_rmax = s[2] * ry[vi].max(axis=1) + s[3]
+            assert np.all(np.diff(fy_rmax) >= -1e-6) and np.all(
+                np.diff(fy_rmin) >= -1e-6), "fy must be row-monotone"
+            imin_u = np.searchsorted(fy_rmax, us - 1.0, side="right")
+            imax_u = np.searchsorted(fy_rmin, us + 1.0, side="left") - 1
+            imin_t = (imin_u.reshape(n_strips, STRIP) - r_off)
+            imax_t = (imax_u.reshape(n_strips, STRIP) - r_off)
+            # strips with no contributing rows have imax < imin everywhere
+            valid = (imax_t >= imin_t).any(axis=1)
+            if valid.any():
+                base_t = imin_t.min(axis=1) - 1
+                hi_t = imax_t.max(axis=1)
+                row_spans[l].append((base_t[valid], hi_t[valid]))
+
+            fx = s[0] * rx[vi] + s[1]
+            for tc in range(n_tiles_t):
+                lo = tc * LANES - 1.0
+                hi = tc * LANES + LANES + 1.0
+                mask = (fx >= lo) & (fx < hi)
+                if not mask.any():
+                    continue
+                diff = np.where(mask, j_full - fx, np.nan)
+                span = np.nanmax(diff) - np.nanmin(diff)
+                d_v[l] = max(d_v[l], int(np.ceil(span)) + 4 + margin)
+    return row_spans, d_v, h
+
+
+def _adjoint_bands_from_spans(row_spans, d_v, h, margin: int = 2
+                              ) -> AdjointBands:
+    """Band sizes from measured spans.  The caller pads the pixel field
+    bottom by ``bi_pad`` rows (``_pad_pixel_rows(pad_bot=bi_pad)``) so the
+    strip DMA never clamps; d_u is then just the worst per-strip span."""
+    dv = int(max(d_v))
+    need = STRIP
+    for base_t, hi_t in (sp for plane in row_spans for sp in plane):
+        need = max(need, int((hi_t - base_t).max()) + 1 + margin)
+    d_u = need
+    bi_pad = ((d_u + STRIP + 8 + 7) // 8) * 8
+    return AdjointBands(d_u=d_u, d_v=dv, bi_pad=bi_pad)
+
+
+def plan_adjoint(scal, rx, ry, plan, tex_h, tex_w, margin: int = 2):
+    """Adjoint bands for each chunk of a forward plan (host helper)."""
+    row_spans, d_v, h = _adjoint_spans(scal, rx, ry, tex_h, tex_w, margin)
+    return [
+        _adjoint_bands_from_spans(row_spans[lo:hi], d_v[lo:hi], h, margin)
+        for lo, hi, _ in plan
+    ]
+
+
+def adjoint_bases(scal, ry, tex_h, bi_pad):
+    """Pixel-row band starts for the adjoint kernel (device-side, jittable).
+
+    For texture strip t of plane l, the first contributing pixel row is
+    ``imin(u) = #{i : max_j fy(i, j) <= u - 1}`` (fy is row-monotone), and the
+    diagonal base is ``min_r(imin(t*16+r) - r) - 1``, mirroring
+    ``_adjoint_spans``.  scal [V, L, 6], ry [V, H, W] ->
+    int32 [V, L, T] clipped to [0, H - bi_pad].
+    """
+    h = ry.shape[1]
+    n_strips = tex_h // STRIP
+    ry_rmax = jnp.max(ry, axis=2)  # [V, H]
+    ay = scal[..., 2]
+    by = scal[..., 3]
+    fy_rmax = ay[..., None] * ry_rmax[:, None, :] + by[..., None]  # [V, L, H]
+    us = jnp.arange(n_strips * STRIP, dtype=jnp.float32) - 1.0
+
+    def one(row):
+        return jnp.searchsorted(row, us, side="right")
+
+    imin_u = jax.vmap(jax.vmap(one))(fy_rmax)  # [V, L, T*16]
+    v, n_l = imin_u.shape[0], imin_u.shape[1]
+    imin_t = imin_u.reshape(v, n_l, n_strips, STRIP) - jnp.arange(STRIP)
+    base = jnp.min(imin_t, axis=3) - 1
+    return jnp.clip(base, 0, max(h - bi_pad, 0)).astype(jnp.int32)
+
+
+def _adj_kernel(base_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
+                gbuf, rxbuf, rybuf, sems, *,
+                bands: AdjointBands, tex_w: int):
+    """Texture-space adjoint of the warp: ``d_tex[u,v] = sum_px hats * g``.
+
+    Grid (view, plane, texture strip).  For each texture strip, one DMA pulls
+    the pixel-row band of the warped-sample cotangent ``g`` (and of rx/ry to
+    rebuild fx/fy); per 128-lane texel tile, contributions accumulate over
+    static ``(du, dv)`` pixel offsets after a diagonal lane rebase — the exact
+    transpose of the forward kernel's tap sums (same hat values, so the VJP is
+    exact in fp32 up to reassociation).
+    """
+    d_u, d_v, bi_pad = bands.d_u, bands.d_v, bands.bi_pad
+    bi_use = bi_pad - 8
+    vi = pl.program_id(0)
+    li = pl.program_id(1)
+    ti = pl.program_id(2)
+    n_l = pl.num_programs(1)
+    n_strips = pl.num_programs(2)
+    w_img = rx_ref.shape[2]
+    win_src = min(512, w_img)
+    # power-of-two window width: rolled by 32 lanes per dv step.  The dv
+    # sweep must not wrap pixels back around: 32*ceil(d_v/32) + LANES <= win_v
+    win_v = 256 if 32 * ((d_v + 31) // 32) + LANES <= 256 else 512
+    assert 32 * ((d_v + 31) // 32) + LANES <= win_v, d_v
+    assert win_src >= win_v, (win_src, win_v)
+    n_tiles = tex_w // LANES
+    f32 = jnp.float32
+
+    ax = scal_ref[0, li, 0]
+    bx = scal_ref[0, li, 1]
+    ay = scal_ref[0, li, 2]
+    by = scal_ref[0, li, 3]
+
+    def dma(step, slot):
+        # step indexes (plane, strip) pairs in grid order
+        l = step // n_strips
+        t = lax.rem(step, n_strips)
+        b = base_ref[vi, l, t]
+        a0 = pl.multiple_of((b // 8) * 8, 8)
+        copies = [
+            pltpu.make_async_copy(
+                g_ref.at[pl.ds(vi * n_l + l, 1), :, pl.ds(a0, bi_pad), :],
+                gbuf.at[:, :, pl.ds(slot * bi_pad, bi_pad), :],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                rx_ref.at[pl.ds(vi, 1), pl.ds(a0, bi_pad), :],
+                rxbuf.at[:, pl.ds(slot * bi_pad, bi_pad), :],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                ry_ref.at[pl.ds(vi, 1), pl.ds(a0, bi_pad), :],
+                rybuf.at[:, pl.ds(slot * bi_pad, bi_pad), :],
+                sems.at[slot, 2]),
+        ]
+        return copies
+
+    step0 = li * n_strips + ti
+    slot = lax.rem(step0, 2)
+
+    @pl.when(step0 == 0)
+    def _():
+        for c in dma(step0, slot):
+            c.start()
+
+    @pl.when(step0 + 1 < n_l * n_strips)
+    def _():
+        for c in dma(step0 + 1, lax.rem(step0 + 1, 2)):
+            c.start()
+
+    for c in dma(step0, slot):
+        c.wait()
+
+    b = base_ref[vi, li, ti]
+    a0 = (b // 8) * 8
+    rem = b - a0
+
+    gband = gbuf[0, :, pl.ds(slot * bi_pad, bi_pad), :]
+    rxband = rxbuf[0, pl.ds(slot * bi_pad, bi_pad), :]
+    ryband = rybuf[0, pl.ds(slot * bi_pad, bi_pad), :]
+    # non-negative dynamic shifts only (see _fwd_kernel note)
+    gband = pltpu.roll(gband, bi_pad - rem, 1)[:, :bi_use]
+    rxband = pltpu.roll(rxband, bi_pad - rem, 0)[:bi_use]
+    ryband = pltpu.roll(ryband, bi_pad - rem, 0)[:bi_use]
+
+    fx_full = ax * rxband + bx                       # [bi_use, W]
+    fy_full = ay * ryband + by
+    jf = lax.broadcasted_iota(jnp.int32, (bi_use, win_src), 1).astype(f32)
+    r_iota = lax.broadcasted_iota(jnp.int32, (STRIP, win_v), 0).astype(f32)
+    m_iota = lax.broadcasted_iota(jnp.int32, (STRIP, LANES), 1).astype(f32)
+    u_rows = (ti * STRIP).astype(f32) + r_iota       # texel rows [STRIP, win_v]
+
+    for tc in range(n_tiles):
+        s0 = min(max(tc * LANES - 16, 0), w_img - win_src)
+        fxs = fx_full[:, s0:s0 + win_src]
+        fys = fy_full[:, s0:s0 + win_src]
+        gs = gband[:, :, s0:s0 + win_src]
+        lo = tc * LANES - 1.0
+        hi = lo + LANES + 2.0
+        mask = (fxs >= lo) & (fxs < hi)
+        diff = jnp.where(mask, (jf + s0) - fxs, 1e9)
+        cj = jnp.floor(jnp.min(diff)).astype(jnp.int32) - 1
+        shift = tc * LANES + cj - s0
+        wg = pltpu.roll(gs, -shift, 2)[:, :, :win_v]
+        wfx = pltpu.roll(fxs, -shift, 1)[:, :win_v]
+        wfy = pltpu.roll(fys, -shift, 1)[:, :win_v]
+        v_cols = tc * LANES + m_iota                 # texel cols [STRIP, LANES]
+
+        acc = jnp.zeros((4, STRIP, LANES), f32)
+        n_dv_steps = (d_v + 31) // 32
+        for du in range(d_u):
+            fy_s = wfy[du:du + STRIP]                # [STRIP, win_v]
+            hy = jnp.maximum(0.0, 1.0 - jnp.abs(fy_s - u_rows))
+            ghy = wg[:, du:du + STRIP, :] * hy[None]  # [4, STRIP, win_v]
+            fx_s = wfx[du:du + STRIP]
+
+            # dv loop: fori over 32-wide static blocks with roll-by-32
+            # windows — bounds compile size (see _fwd_kernel dx loop)
+            def dv_body(m, carry):
+                acc_c, g_c, fx_c = carry
+                for dvf in range(32):
+                    hx = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(fx_c[:, dvf:dvf + LANES] - v_cols))
+                    acc_c = acc_c + hx[None] * g_c[:, :, dvf:dvf + LANES]
+                return (acc_c, pltpu.roll(g_c, win_v - 32, 2),
+                        pltpu.roll(fx_c, win_v - 32, 1))
+
+            acc, _, _ = lax.fori_loop(0, n_dv_steps, dv_body,
+                                      (acc, ghy, fx_s))
+        out_ref[0, 0, :, :, tc * LANES:(tc + 1) * LANES] = acc
+
+
+def warp_adjoint(
+    d_samp: jnp.ndarray,    # [V, L, 4, H, W] cotangent on warped samples
+    rx: jnp.ndarray,        # [V, H, W]
+    ry: jnp.ndarray,
+    scal: jnp.ndarray,      # [V, L, 6]
+    bands: AdjointBands,
+    tex_h: int,
+    tex_w: int,
+    interpret: bool = False,
+):
+    """Exact warp transpose: d_samp -> d_tex [V, L, 4, tex_h, tex_w].
+
+    Taps outside the texture (the zeros-padding region of
+    ``grid_sample(padding_mode="zeros")``) contribute no gradient, which this
+    kernel reproduces by only accumulating real texel positions.
+    """
+    v, l_planes = d_samp.shape[0], d_samp.shape[1]
+    h, w_img = d_samp.shape[3], d_samp.shape[4]
+    assert tex_h % STRIP == 0 and tex_w % LANES == 0, (tex_h, tex_w)
+    # window lanes must not wrap around the image width
+    assert min(512, w_img) >= LANES + bands.d_v, (w_img, bands)
+    # dynamic lane rotates require power-of-two widths (v5e Mosaic)
+    ws = min(512, w_img)
+    assert ws & (ws - 1) == 0, w_img
+    n_strips = tex_h // STRIP
+
+    g_flat = d_samp.reshape(v * l_planes, 4, h, w_img)
+    rx, ry, g_flat = _pad_pixel_rows(rx, ry, g_flat, pad_bot=bands.bi_pad)
+    bases = adjoint_bases(scal, ry, tex_h, bands.bi_pad)  # [V, L, T]
+
+    kernel = functools.partial(_adj_kernel, bands=bands, tex_w=tex_w)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(v, l_planes, n_strips),
+            in_specs=[
+                pl.BlockSpec((1, l_planes, 6),
+                             lambda vi, li, ti, sref: (vi, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),   # rx
+                pl.BlockSpec(memory_space=pl.ANY),   # ry
+                pl.BlockSpec(memory_space=pl.ANY),   # g
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, 4, STRIP, tex_w),
+                lambda vi, li, ti, sref: (vi, li, 0, ti, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((1, 4, 2 * bands.bi_pad, w_img), jnp.float32),
+                pltpu.VMEM((1, 2 * bands.bi_pad, w_img), jnp.float32),
+                pltpu.VMEM((1, 2 * bands.bi_pad, w_img), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((v, l_planes, 4, tex_h, tex_w),
+                                       jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(bases, scal, rx, ry, g_flat)
+    return out
+
+
+def composite_bwd(warped, delta, g_color, g_depth, g_trans, eps: float = EPS):
+    """Cotangents on the warped per-plane RGBA from cotangents on the
+    composited outputs (pure XLA; the non-warp half of the fused VJP).
+
+    With ``T_l = prod_{m<l}(1 - a_m + eps)``, ``w_l = a_l * T_l``
+    (``gmpi/core/mpi.py:421-434``):
+
+      d rgb_l   = w_l * g_color
+      d alpha_l = T_l * e_l - (u_l + g_trans * T_total) / (1 - a_l + eps)
+
+    where ``e_l = g_color . rgb_l + g_depth * delta_l`` and
+    ``u_l = sum_{m>l} w_m e_m`` (suffix sum).
+
+    Args:
+        warped:  [V, L, 4, H, W] warped per-plane RGBA (fwd residual)
+        delta:   [V, L, H, W] per-plane pixel depth ``dscale_l * q``
+        g_color: [V, 3, H, W]; g_depth / g_trans: [V, H, W] (or None)
+    Returns d_warped [V, L, 4, H, W].
+    """
+    rgb = warped[:, :, :3]
+    alpha = warped[:, :, 3]
+    one_m = 1.0 - alpha + eps                         # [V, L, H, W]
+    t_incl = jnp.cumprod(one_m, axis=1)
+    t_excl = jnp.concatenate(
+        [jnp.ones_like(t_incl[:, :1]), t_incl[:, :-1]], axis=1)  # T_l
+    w = alpha * t_excl
+
+    e = jnp.einsum("vchw,vlchw->vlhw", g_color, rgb)
+    if g_depth is not None:
+        e = e + g_depth[:, None] * delta
+    we = w * e
+    # u_l = suffix-exclusive cumsum of we along planes
+    u = jnp.flip(jnp.cumsum(jnp.flip(we, 1), axis=1), 1) - we
+
+    d_alpha = t_excl * e - u / one_m
+    if g_trans is not None:
+        d_alpha = d_alpha - (g_trans * t_incl[:, -1])[:, None] / one_m
+    d_rgb = w[:, :, None] * g_color[:, None]
+    return jnp.concatenate([d_rgb, d_alpha[:, :, None]], axis=2)
+
+
 def render_mpi_fused_fwd(
     rgba: jnp.ndarray,      # [V, L, 4, Th, Tw] in [0, 1]
     dhw: jnp.ndarray,       # [L, 3]
@@ -472,3 +889,62 @@ def render_mpi_fused_fwd(
     color, depth, trans = carry
     warped = jnp.concatenate(warped_parts, axis=1)
     return color, depth[:, None], trans[:, None], warped
+
+
+@functools.lru_cache(maxsize=64)
+def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
+                        early_out: bool = True, eps: float = EPS,
+                        interpret: bool = False):
+    """Build the fused MPI renderer with its exact custom VJP.
+
+    ``plan`` is a tuple of ``(lo, hi, FusedBands)`` (see
+    :func:`plan_fused_render`) and ``adj_plan`` a matching tuple of
+    :class:`AdjointBands` (see :func:`plan_adjoint`); both are static, so the
+    returned function is cached per configuration and safe to close over in
+    jitted code.
+
+    The VJP matches the reference renderer's semantics: gradients flow into
+    the plane RGBA only (UV grid and depth under stop-gradient,
+    ``gmpi/core/mpi.py:65,148``); pose/geometry inputs get zero cotangents.
+
+    Returns ``fn(rgba, dhw, ray_dir, eye_pos, z_dir) ->
+    (color [V,3,H,W], depth [V,1,H,W], trans [V,1,H,W])``.
+    """
+    plan = tuple((int(lo), int(hi), FusedBands(*b)) for lo, hi, b in plan)
+    adj_plan = tuple(AdjointBands(*b) for b in adj_plan)
+
+    @jax.custom_vjp
+    def fn(rgba, dhw, ray_dir, eye_pos, z_dir):
+        color, depth, trans, _ = render_mpi_fused_fwd(
+            rgba, dhw, ray_dir, eye_pos, z_dir, plan,
+            early_out=early_out, eps=eps, interpret=interpret)
+        return color, depth, trans
+
+    def fn_fwd(rgba, dhw, ray_dir, eye_pos, z_dir):
+        color, depth, trans, warped = render_mpi_fused_fwd(
+            rgba, dhw, ray_dir, eye_pos, z_dir, plan,
+            early_out=early_out, eps=eps, interpret=interpret)
+        return (color, depth, trans), (warped, dhw, ray_dir, eye_pos, z_dir)
+
+    def fn_bwd(res, cot):
+        warped, dhw, ray_dir, eye_pos, z_dir = res
+        g_color, g_depth, g_trans = cot
+        scal = jax.vmap(lambda e: plane_affine(dhw, e, tex_h, tex_w))(eye_pos)
+        rx, ry, q = ray_fields(ray_dir.astype(jnp.float32),
+                               z_dir.astype(jnp.float32))
+        delta = scal[:, :, 4][:, :, None, None] * q[:, None]  # [V, L, H, W]
+        d_samp = composite_bwd(warped, delta, g_color,
+                               None if g_depth is None else g_depth[:, 0],
+                               None if g_trans is None else g_trans[:, 0],
+                               eps)
+        parts = []
+        for (lo, hi, _), abands in zip(plan, adj_plan):
+            parts.append(warp_adjoint(
+                d_samp[:, lo:hi], rx, ry, scal[:, lo:hi], abands,
+                tex_h, tex_w, interpret=interpret))
+        d_rgba = jnp.concatenate(parts, axis=1)
+        return (d_rgba, jnp.zeros_like(dhw), jnp.zeros_like(ray_dir),
+                jnp.zeros_like(eye_pos), jnp.zeros_like(z_dir))
+
+    fn.defvjp(fn_fwd, fn_bwd)
+    return fn

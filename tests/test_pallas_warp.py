@@ -1,0 +1,148 @@
+"""Tests for the fused Pallas warp+composite renderer (interpret mode).
+
+The kernel itself targets TPU (``tools/test_fused_fwd.py`` /
+``tools/test_fused_vjp.py`` run the same checks on hardware); here the
+interpreter validates the kernel logic and the composite backward against
+the pure-jnp oracle renderer on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gmpi_tpu.core import camera as cam
+from gmpi_tpu.core import geometry as geom_mod
+from gmpi_tpu.core import poses as poses_mod
+from gmpi_tpu.core.renderer import render_slab_partial, warp_planes
+from gmpi_tpu.ops.pallas_warp import (
+    EPS,
+    composite_bwd,
+    make_fused_renderer,
+    plan_adjoint,
+    plan_fused_render,
+    plane_affine,
+    ray_fields,
+)
+
+
+def _setup(n_planes, res):
+    geom = geom_mod.build_plane_geometry(
+        n_planes=n_planes, min_d=0.95, max_d=1.12,
+        distance_sample_method="inverse", fov_deg=12.6, sphere_center_z=1.0,
+        sphere_r=1.0, yaw_mean=0.0, yaw_std=0.289, pitch_mean=0.0,
+        pitch_std=0.127, n_truncated_stds=2.0, enlarge_factor=1.001,
+        confined=True,
+    )
+    c2w, _, _ = poses_mod.sample_sphere_poses(
+        None, 1, poses_mod.SphereCameraConfig(1.0, 1.0, 0.0, 0.289, 0.0, 0.127),
+        given_yaws=jnp.asarray([[0.1]]), given_pitches=jnp.asarray([[0.05]]),
+    )
+    intr = cam.intrinsics_from_fov(12.6, res, res)
+    ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+    return geom, ray_dir, eye, z_dir
+
+
+def test_composite_bwd_matches_autodiff():
+    rng = np.random.default_rng(1)
+    v, l, h, w = 2, 7, 8, 16
+    warped = jnp.asarray(rng.random((v, l, 4, h, w)).astype(np.float32))
+    delta = jnp.asarray(rng.random((v, l, h, w)).astype(np.float32) + 0.9)
+
+    def fwd(warped):
+        rgb, alpha = warped[:, :, :3], warped[:, :, 3]
+        acc_c = jnp.zeros((v, 3, h, w))
+        acc_d = jnp.zeros((v, h, w))
+        t = jnp.ones((v, h, w))
+        for i in range(l):
+            wgt = alpha[:, i] * t
+            acc_c = acc_c + wgt[:, None] * rgb[:, i]
+            acc_d = acc_d + wgt * delta[:, i]
+            t = t * (1.0 - alpha[:, i] + EPS)
+        return acc_c, acc_d, t
+
+    gc = jnp.asarray(rng.random((v, 3, h, w)).astype(np.float32))
+    gd = jnp.asarray(rng.random((v, h, w)).astype(np.float32))
+    gt = jnp.asarray(rng.random((v, h, w)).astype(np.float32))
+    _, vjp = jax.vjp(fwd, warped)
+    (d_ref,) = vjp((gc, gd, gt))
+    d_mine = composite_bwd(warped, delta, gc, gd, gt)
+    np.testing.assert_allclose(np.asarray(d_mine), np.asarray(d_ref),
+                               atol=1e-4, rtol=1e-4)
+    (d_ref2,) = jax.vjp(fwd, warped)[1]((gc, jnp.zeros_like(gd),
+                                         jnp.zeros_like(gt)))
+    d_mine2 = composite_bwd(warped, delta, gc, None, None)
+    np.testing.assert_allclose(np.asarray(d_mine2), np.asarray(d_ref2),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_fused_render_fwd_and_grad_matches_oracle_interpret():
+    n_planes, res = 2, 256
+    geom, ray_dir, eye, z_dir = _setup(n_planes, res)
+    dhw = jnp.asarray(geom.dhw)
+    scal = plane_affine(dhw, eye[0], res, res)[None]
+    rx, ry, _ = ray_fields(ray_dir, z_dir)
+    plan = plan_fused_render(scal, rx, ry)
+    adj = plan_adjoint(scal, rx, ry, plan, res, res)
+    fn = make_fused_renderer(
+        tuple((int(lo), int(hi), b) for lo, hi, b in plan), tuple(adj),
+        res, res, early_out=False, interpret=True)
+
+    rng = np.random.default_rng(0)
+    rgba = jnp.asarray(rng.random((1, n_planes, 4, res, res)).astype(np.float32))
+    gc = jnp.asarray(rng.standard_normal((1, 3, res, res)).astype(np.float32))
+
+    color, depth, trans = fn(rgba, dhw, ray_dir, eye, z_dir)
+    c_ref, d_ref, t_ref = render_slab_partial(rgba, geom.dhw, ray_dir, eye, z_dir)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(c_ref), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(d_ref), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(trans), np.asarray(t_ref), atol=5e-4)
+
+    def loss_fused(x):
+        c, d, t = fn(x, dhw, ray_dir, eye, z_dir)
+        return jnp.sum(c * gc)
+
+    def loss_oracle(x):
+        c, d, t = render_slab_partial(x, geom.dhw, ray_dir, eye, z_dir)
+        return jnp.sum(c * gc)
+
+    g_fused = jax.grad(loss_fused)(rgba)
+    g_oracle = jax.grad(loss_oracle)(rgba)
+    ref = float(jnp.max(jnp.abs(g_oracle)))
+    err = float(jnp.max(jnp.abs(g_fused - g_oracle)))
+    assert err / ref < 1e-3, (err, ref)
+
+
+@pytest.mark.slow
+def test_warp_adjoint_matches_vjp_oracle_interpret():
+    from gmpi_tpu.ops.pallas_warp import (_adjoint_bands_from_spans,
+                                          _adjoint_spans, warp_adjoint)
+
+    n_planes, res = 2, 256
+    tex_h, tex_w = 64, 256   # shallow texture keeps interpret time bounded
+    geom, ray_dir, eye, z_dir = _setup(n_planes, res)
+    dhw = jnp.asarray(geom.dhw)
+    scal = plane_affine(dhw, eye[0], tex_h, tex_w)[None]
+    rx, ry, _ = ray_fields(ray_dir, z_dir)
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.standard_normal((1, n_planes, 4, res, res)).astype(np.float32))
+
+    def warp_all(x):
+        flat = x.reshape(n_planes, 4, tex_h, tex_w)
+        dhw_f = jnp.broadcast_to(dhw, (n_planes, 3))
+        ray_f = jnp.broadcast_to(ray_dir[:, None], (1, n_planes, 3, res, res)
+                                 ).reshape(n_planes, 3, res, res)
+        eye_f = jnp.broadcast_to(eye[:, None], (1, n_planes, 3)).reshape(n_planes, 3)
+        z_f = jnp.broadcast_to(z_dir[:, None], (1, n_planes, 3)).reshape(n_planes, 3)
+        rgb, _, alpha = warp_planes(flat, dhw_f, eye_f, ray_f, z_f)
+        return jnp.concatenate([rgb, alpha], axis=1)[None]
+
+    x0 = jnp.asarray(rng.random((1, n_planes, 4, tex_h, tex_w)).astype(np.float32))
+    out, vjp = jax.vjp(warp_all, x0)
+    (d_ref,) = vjp(g.reshape(out.shape))
+    rs, dv, h = _adjoint_spans(scal, rx, ry, tex_h, tex_w)
+    bands = _adjoint_bands_from_spans(rs, dv, h)
+    d_mine = warp_adjoint(g, rx, ry, scal, bands, tex_h, tex_w, interpret=True)
+    np.testing.assert_allclose(np.asarray(d_mine), np.asarray(d_ref), atol=1e-3)
