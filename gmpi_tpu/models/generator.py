@@ -257,7 +257,8 @@ class SynthesisBlockCfg:
                     sub = {}
                     for i, layer in enumerate(head):
                         k, kk = jax.random.split(k)
-                        sub[f"conv{i}"] = layer.init(kk)
+                        # Sequential index naming: converter name-walk parity
+                        sub[str(i)] = layer.init(kk)
                     params[name] = sub
                 elif head == "learnable_param":
                     # per-plane learned token (``networks_pos_enc_learnable_param.py:656-668``)
@@ -292,7 +293,7 @@ class SynthesisBlockCfg:
             return out.reshape(n, hh, ww, -1).transpose(0, 3, 1, 2)
         if isinstance(head, list):
             for i, layer in enumerate(head):
-                x = layer.apply(p[f"conv{i}"], x)
+                x = layer.apply(p[str(i)], x)
             return x
         return head.apply(p, x, w, splitted=True, n_planes=n_planes)
 
@@ -442,6 +443,33 @@ class SynthesisBlockCfg:
                 )
                 enc_rep = jnp.tile(enc, (bs, 1, 1, 1)).astype(dtype)
                 cond_x = jnp.concatenate([cond_x, enc_rep], axis=1)
+            elif self.cond_mode in ("cond_z", "cond_xyz"):
+                # AdaIN conditioning (``networks_cond_on_pos_enc.py:820-861``):
+                # instance-normalized trunk features take the per-plane
+                # embedding map's spatial statistics.  The reference supports
+                # only mlp/conv embed functions here (its modulated path
+                # raises ValueError), and divides by the feature std without
+                # the FLOATING_EPS used by normalize_add_* (``:846``).
+                head = self._embed_head()
+                assert isinstance(head, (FullyConnected, list)), (
+                    "cond_z/cond_xyz support mlp/conv embed functions only "
+                    "(reference parity)")
+                enc5 = apply_pos_enc(xyz.reshape(n_planes, res, res, 3, 1), self.pos_enc_multires)
+                if self.cond_mode == "cond_z":
+                    enc = enc5[:, :, :, 2, :]                    # [L, res, res, pos]
+                else:
+                    enc = enc5.reshape(n_planes, res, res, -1)   # [L, res, res, 3*pos]
+                enc = enc.transpose(0, 3, 1, 2).astype(dtype)
+                embeds = self._apply_embed_head(
+                    params["pos_enc_embed"], head, enc, w_conv1, n_planes)
+                e_mean, e_std = instance_mean_std(embeds.astype(jnp.float32))  # [L, C, 1, 1]
+                mean, std = instance_mean_std(x.astype(jnp.float32))
+                cond_x = (x.astype(jnp.float32) - mean) / std
+                cond_x = jnp.broadcast_to(cond_x[:, None], (bs, n_planes, *cond_x.shape[1:])).reshape(
+                    bs * n_planes, -1, res, res
+                )
+                cond_x = (cond_x * jnp.tile(e_std, (bs, 1, 1, 1))
+                          + jnp.tile(e_mean, (bs, 1, 1, 1))).astype(dtype)
             else:
                 raise NotImplementedError(self.cond_mode)
 

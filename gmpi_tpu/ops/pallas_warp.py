@@ -60,6 +60,11 @@ class FusedBands(NamedTuple):
     d_x: int       # static dx tap range (diagonal x band)
     d_y: int       # static dy tap range (includes 8-align slack)
     by_pad: int    # DMA'd texture rows per strip (multiple of 8)
+    b_x: int = 0   # absolute texel-column band per 16x64 subtile (MXU path)
+
+
+SUBW = 64          # pixel lanes per MXU subtile (16 rows x 64 cols)
+WIN_SUB = 384      # static texture-lane window per subtile before rebasing
 
 
 def plane_affine(dhw, eye_pos, tex_h, tex_w):
@@ -116,27 +121,29 @@ def _plane_spans(scal, rx, ry):
     sx = np.zeros(n_l)
     sy = np.zeros(n_l)
     sy_strip = np.zeros(n_l)
+    sx_abs = np.zeros(n_l)   # absolute fx span over 16x64 subtiles (MXU hats)
 
-    def tile_span(diag, tile_w, axis_blocks):
-        # diag [H, W] with inf at invalid pixels; max over blocks of
-        # (finite max - min)
-        best = 0.0
-        for t in range(axis_blocks):
-            sl = diag[:, t * tile_w:(t + 1) * tile_w]
-            lo = sl.min()
-            hi = np.where(np.isinf(sl), -np.inf, sl).max()
-            if np.isfinite(hi - lo):
-                best = max(best, float(hi - lo))
-        return best
+    def block_span(vals, rows, cols):
+        """max over (rows x cols) blocks of (finite max - min); vals [H, W]
+        with +inf at invalid pixels."""
+        hh, ww = vals.shape
+        b = vals.reshape(hh // rows, rows, ww // cols, cols)
+        lo = b.min(axis=(1, 3))
+        hi = np.where(np.isinf(b), -np.inf, b).max(axis=(1, 3))
+        d = hi - lo
+        d = d[np.isfinite(d)]
+        return float(d.max()) if d.size else 0.0
 
     for vi in range(v):
         for l in range(n_l):
             s = scal[vi, l]
             fx = s[0] * rx[vi] + s[1]
             fy = s[2] * ry[vi] + s[3]
-            fxd = np.where(fx < -1.0, np.inf, fx) - j
+            fx_m = np.where(fx < -1.0, np.inf, fx)
+            fxd = fx_m - j
             fyd = np.where(fy < -1.0, np.inf, fy)
-            sx[l] = max(sx[l], tile_span(fxd, LANES, w // LANES))
+            sx[l] = max(sx[l], block_span(fxd, STRIP, LANES))
+            sx_abs[l] = max(sx_abs[l], block_span(fx_m, STRIP, SUBW))
             fyd3 = fyd.reshape(h // STRIP, STRIP, w) - i
             for si in range(h // STRIP):
                 sl = fyd3[si]
@@ -144,11 +151,12 @@ def _plane_spans(scal, rx, ry):
                 hi = np.where(np.isinf(sl), -np.inf, sl).max()
                 if np.isfinite(hi - lo):
                     sy_strip[l] = max(sy_strip[l], float(hi - lo))
-                sy[l] = max(sy[l], tile_span(sl, LANES, w // LANES))
-    return sx, sy, sy_strip
+                sy[l] = max(sy[l], block_span(sl, STRIP, LANES))
+    return sx, sy, sy_strip, sx_abs
 
 
-def _bands_from_spans(span_x, span_y, span_y_strip, margin: int = 2) -> FusedBands:
+def _bands_from_spans(span_x, span_y, span_y_strip, span_x_abs,
+                      margin: int = 2) -> FusedBands:
     d_x = int(np.ceil(max(span_x))) + 3 + margin
     # window rows are rebased exactly via a sublane roll — no 8-align slack
     d_y = int(np.ceil(max(span_y))) + 3 + margin
@@ -159,14 +167,16 @@ def _bands_from_spans(span_x, span_y, span_y_strip, margin: int = 2) -> FusedBan
     by_pad = STRIP + int(np.ceil(max(span_y_strip))) + 3 + margin + (rwp - rw) + 16
     by_pad = max(by_pad, rwp + 8)
     by_pad = ((by_pad + 7) // 8) * 8
-    return FusedBands(d_x=d_x, d_y=d_y, by_pad=by_pad)
+    b_x = int(np.ceil(max(span_x_abs))) + 3 + margin
+    b_x = ((b_x + 7) // 8) * 8
+    return FusedBands(d_x=d_x, d_y=d_y, by_pad=by_pad, b_x=b_x)
 
 
 def estimate_fused_bands(scal, rx, ry, margin: int = 2) -> FusedBands:
     """Measure the diagonal band sizes a (chunk, pose set) needs (host helper,
     the fused-kernel analog of ``tiled_warp.required_bands``)."""
-    sx, sy, sys_ = _plane_spans(scal, rx, ry)
-    return _bands_from_spans(sx, sy, sys_, margin)
+    sx, sy, sys_, sxa = _plane_spans(scal, rx, ry)
+    return _bands_from_spans(sx, sy, sys_, sxa, margin)
 
 
 def plan_fused_render(scal, rx, ry, margin: int = 2, max_chunks: int = 14,
@@ -180,13 +190,15 @@ def plan_fused_render(scal, rx, ry, margin: int = 2, max_chunks: int = 14,
     per-chunk kernel launch + compile pressure); the chunk count is capped
     by escalating the overhead term.  Returns ``[(lo, hi, FusedBands), ...]``.
     """
-    sx, sy, sys_ = _plane_spans(scal, rx, ry)
+    sx, sy, sys_, sxa = _plane_spans(scal, rx, ry)
     n_l = len(sx)
 
     def chunk_cost(lo, hi, ov):
-        d_x = int(np.ceil(sx[lo:hi].max())) + 3 + margin
-        d_y = int(np.ceil(sy[lo:hi].max())) + 3 + margin
-        return (hi - lo) * d_x * (4 * d_y + 7) + ov
+        # MXU-path per-plane cost model: hat builds scale with the subtile
+        # band b_x and the window rows rw; the matmul rides along (overlapped)
+        b_x = int(np.ceil(sxa[lo:hi].max())) + 3 + margin
+        rw = STRIP + int(np.ceil(sy[lo:hi].max())) + 3 + margin
+        return (hi - lo) * (3 * b_x + 7 * rw) + ov
 
     ov = overhead
     while True:
@@ -209,7 +221,7 @@ def plan_fused_render(scal, rx, ry, margin: int = 2, max_chunks: int = 14,
     plan = []
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         plan.append((lo, hi, _bands_from_spans(
-            sx[lo:hi], sy[lo:hi], sys_[lo:hi], margin)))
+            sx[lo:hi], sy[lo:hi], sys_[lo:hi], sxa[lo:hi], margin)))
     return plan
 
 
@@ -234,36 +246,84 @@ def pad_textures(rgba):
     return jnp.pad(rgba, pad)
 
 
+def flatten_pixels(x):
+    """[..., H, W] -> [..., H//16, (W//64)*8, 128] in the kernel's
+    subtile-flat layout.
+
+    Pixel (strip s, row i = 8h + a, col st*64 + v) maps to flat
+    (s, st*8 + a, h*64 + v): each 16x64 pixel subtile becomes one [8, 128]
+    block — a full native vreg tile, so per-subtile hat tensors
+    ``[B, 8, 128]`` waste no lanes (a [16, 64] slice would idle half of
+    every vreg)."""
+    lead = x.shape[:-2]
+    h, w = x.shape[-2], x.shape[-1]
+    ns, nt = h // STRIP, w // SUBW
+    nl = len(lead)
+    y = x.reshape(*lead, ns, 2, 8, nt, SUBW)   # [..., s, h2, a, st, v]
+    perm = tuple(range(nl)) + (nl, nl + 3, nl + 2, nl + 1, nl + 4)
+    y = jnp.transpose(y, perm)                 # [..., s, st, a, h2, v]
+    return y.reshape(*lead, ns, nt * 8, 2 * SUBW)
+
+
+def unflatten_pixels(y, h, w):
+    """Inverse of :func:`flatten_pixels`."""
+    lead = y.shape[:-3]
+    ns, nt = h // STRIP, w // SUBW
+    nl = len(lead)
+    x = y.reshape(*lead, ns, nt, 8, 2, SUBW)   # [..., s, st, a, h2, v]
+    perm = tuple(range(nl)) + (nl, nl + 3, nl + 2, nl + 1, nl + 4)
+    x = jnp.transpose(x, perm)                 # [..., s, h2, a, st, v]
+    return x.reshape(*lead, h, w)
+
+
 def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
                 tex_ref,
                 color_ref, depth_ref, trans_ref, warped_ref,
                 buf, sems, *, L, tex_h, tex_w, bands: FusedBands,
-                early_out: bool, eps: float):
-    d_x, d_y, by_pad = bands.d_x, bands.d_y, bands.by_pad
+                early_out: bool, eps: float,
+                precision=lax.Precision.HIGH):
+    """Fused warp+composite, MXU formulation.
+
+    Per (plane, 16x64 pixel subtile): slice + diagonally rebase a texture
+    window ``[4, rwp, b_x]``, contract its texel *columns* against per-pixel
+    x-hats on the MXU (``[4*rwp, b_x] @ [b_x, 8, 128]``), then contract the
+    ``rw`` window *rows* against per-pixel y-hats on the VPU.  Exactly
+    separable bilinear interpolation (hats have <=2 nonzeros per pixel and
+    axis), so the ``precision=HIGH`` (bf16x3) matmul is accurate to ~1e-6 —
+    each output element is a sum of <=2 products.
+    """
+    d_y, by_pad, b_xp = bands.d_y, bands.by_pad, bands.b_x
     rw = STRIP + d_y
     rwp = ((rw + 8 + 7) // 8) * 8   # sublane rolls need 8-aligned shapes
     wp = tex_ref.shape[3]
-    win_src = min(WIN_SRC, wp)
-    win_x = min(WIN_X, win_src)
-    w_img = rx_ref.shape[2]
-    n_tiles = w_img // LANES
+    win_w = min(WIN_SUB, wp)
+    # the 128-aligned rebase leaves shift < 192 when the window start is
+    # unclamped; when wp == win_w the window is the whole padded texture
+    assert b_xp + 192 <= win_w or wp == win_w, (b_xp, win_w, wp)
+    r8 = rx_ref.shape[2]            # (W//64)*8 flat rows per strip
+    n_sub = r8 // 8
     f32 = jnp.float32
     vi = pl.program_id(0)
 
-    ry_full = ry_ref[0]          # [STRIP, W]
-    rx_full = rx_ref[0]
-    q_full = q_ref[0]
+    rx_full = rx_ref[0, 0]          # [R8, 128] subtile-flat
+    ry_full = ry_ref[0, 0]
+    q_full = q_ref[0, 0]
 
-    i_iota = lax.broadcasted_iota(jnp.int32, (STRIP, LANES), 0).astype(f32)
-    j_iota = lax.broadcasted_iota(jnp.int32, (STRIP, LANES), 1).astype(f32)
+    # flat-layout pixel-row index fields (i = 8*(lane//SUBW) + row%8)
+    sub_i = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    lane8 = lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    i_blk = (sub_i + 8 * (lane8 // SUBW)).astype(f32)
+    row_f = lax.broadcasted_iota(jnp.int32, (r8, LANES), 0)
+    lane_f = lax.broadcasted_iota(jnp.int32, (r8, LANES), 1)
+    i_full = (lax.rem(row_f, 8) + 8 * (lane_f // SUBW)).astype(f32)
 
-    i_full = lax.broadcasted_iota(jnp.int32, (STRIP, w_img), 0).astype(f32)
+    iota_x = lax.broadcasted_iota(jnp.int32, (b_xp, 8, LANES), 0).astype(f32)
+    iota_r = lax.broadcasted_iota(jnp.int32, (rwp, 8, LANES), 0).astype(f32)
 
     def y_lo_aligned(l):
-        """Texture-row DMA start (padded coords, 8-aligned) for plane l.
-
-        Based on the *diagonal* min ``floor(min(fy - i)) - 1`` so per-tile
-        window bases (same diagonal rebasing) are never below the strip."""
+        """Texture-row DMA start (padded coords, 8-aligned) for plane l,
+        from the diagonal min ``floor(min(fy - i)) - 1`` so per-subtile
+        window bases are never below the strip band."""
         ay = scal_ref[0, l, 2]
         by = scal_ref[0, l, 3]
         fy = ay * ry_full + by
@@ -283,9 +343,9 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
     dma(0, 0).start()
 
     # over-compositing continues from the previous (nearer) plane slab
-    acc_rgb0 = cin_ref[0]
-    acc_d0 = din_ref[0]
-    acc_t0 = tin_ref[0]
+    acc_rgb0 = cin_ref[0, :, 0]
+    acc_d0 = din_ref[0, 0]
+    acc_t0 = tin_ref[0, 0]
 
     def compute_plane(l, slot, acc_rgb, acc_d, acc_t):
         ax = scal_ref[0, l, 0]
@@ -296,59 +356,50 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
         y0 = y_lo_aligned(l)  # recompute (cheap scalar path)
 
         parts = []
-        for t in range(n_tiles):
-            js = slice(t * LANES, (t + 1) * LANES)
-            fx = ax * rx_full[:, js] + bx
-            fy = ay * ry_full[:, js] + by
-            # diagonal bases from valid pixels only
+        for st in range(n_sub):
+            rs = slice(st * 8, st * 8 + 8)
+            fx = ax * rx_full[rs] + bx         # [8, 128] subtile pixels
+            fy = ay * ry_full[rs] + by
             fx_m = jnp.where(fx < -1.0, 1e9, fx)
             fy_m = jnp.where(fy < -1.0, 1e9, fy)
-            cx = jnp.floor(jnp.min(fx_m - j_iota)).astype(jnp.int32) - 1
-            ryb = jnp.floor(jnp.min(fy_m - i_iota)).astype(jnp.int32) - 1
-            # window rows: strip row of texel row r is r + PADY_TOP - y0.
-            # the slice start is 8-aligned; a sublane roll removes the
-            # remainder so d_y needs no alignment slack
+            # absolute texel-column base; clamping keeps the window in the
+            # padded texture — clamped-away taps are all zero-pad texels
+            # (their hats vs the clamped base vanish or hit zeros)
+            cx = jnp.floor(jnp.min(fx_m)).astype(jnp.int32) - 1
+            cx = jnp.clip(cx, -2, wp - PAD - b_xp)
+            ryb = jnp.floor(jnp.min(fy_m - i_blk)).astype(jnp.int32) - 1
             ry2 = jnp.clip(ryb + PADY_TOP - y0, 0, by_pad - rwp)
             row0 = pl.multiple_of(slot * by_pad + (ry2 // 8) * 8, 8)
             rem = ry2 - (ry2 // 8) * 8
-            s0 = min(max(t * LANES - 128, 0), wp - win_src)
-            win = buf[0, :, pl.ds(row0, rwp), s0:s0 + win_src]
+            # 128-aligned dynamic window start tracking this plane's slope
+            cxp = cx + PAD
+            s0d = jnp.clip(((cxp - 64) // 128) * 128, 0, wp - win_w)
+            s0d = pl.multiple_of(s0d, 128)
+            win = buf[0, :, pl.ds(row0, rwp), pl.ds(s0d, win_w)]
             # dynamic sublane rotates need a non-negative shift (negative
-            # shifts silently miscompile on v5e Mosaic)
-            win = pltpu.roll(win, rwp - rem, 1)[:, :rw]
-            shift = cx + PAD - s0
-            win = pltpu.roll(win, -shift, 2)[:, :, :win_x]
-            # rebased fractional coords; pixels sampling left of the texture
-            # pad would otherwise hit wrapped window lanes with nonzero hats
-            fx_rel = jnp.where(fx < -1.0, -1e9, fx - (cx.astype(f32) + j_iota))
-            fy_rel = fy - ((y0 - PADY_TOP + ry2).astype(f32) + i_iota)
-            wys = [jnp.maximum(0.0, 1.0 - jnp.abs(fy_rel - dy))[None]
-                   for dy in range(d_y)]
-            # dx loop: fori over 8-wide static blocks with a roll-by-8 window
-            # step — bounds compile size at large d_x (a fully unrolled dx
-            # loop made Mosaic compiles take tens of minutes)
-            assert d_x <= win_x - LANES - 8, (d_x, win_x)
-            n_dx_steps = (d_x + 7) // 8
-
-            def dx_body(m, carry):
-                samp, win_c = carry
-                dx0 = (m * 8).astype(f32)
-                for dxf in range(8):
-                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx_rel - (dx0 + dxf)))
-                    # lane shift per dx; dy slices are sublane offsets
-                    wsl = win_c[:, :, dxf:dxf + LANES]
-                    inner = wys[0] * wsl[:, 0:STRIP, :]
-                    for dy in range(1, d_y):
-                        inner = inner + wys[dy] * wsl[:, dy:dy + STRIP, :]
-                    samp = samp + wx[None] * inner
-                return samp, pltpu.roll(win_c, win_x - 8, 2)
-
-            samp, _ = lax.fori_loop(
-                0, n_dx_steps, dx_body,
-                (jnp.zeros((4, STRIP, LANES), f32), win))
-            parts.append(samp)
-        samp_full = jnp.concatenate(parts, axis=2)  # [4, STRIP, W]
-        warped_ref[0, pl.ds(l, 1)] = samp_full[None]
+            # shifts silently miscompile on v5e Mosaic); wrapped rows land at
+            # r >= rw where the y-hats are structurally zero
+            win = pltpu.roll(win, rwp - rem, 1)
+            shift = cxp - s0d
+            win = pltpu.roll(win, -shift, 2)[:, :, :b_xp]   # [4, rwp, b_x]
+            a2 = win.reshape(4 * rwp, b_xp)                 # rows (c, r) c-major
+            fx_rel = jnp.where(fx < -1.0, -1e9, fx - cx.astype(f32))
+            hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(fx_rel[None] - iota_x))
+            mixed = lax.dot_general(
+                a2, hat_x, (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=f32)
+            # mixed [4*rwp, 8, 128]: row c*rwp + r = window row r of channel c
+            fy_rel = fy - (y0 - PADY_TOP + ry2).astype(f32)
+            hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(fy_rel[None] - iota_r))
+            chans = []
+            for c in range(4):
+                acc = hat_y[0] * mixed[c * rwp]
+                for r in range(1, rw):
+                    acc = acc + hat_y[r] * mixed[c * rwp + r]
+                chans.append(acc)
+            parts.append(jnp.stack(chans, axis=0))          # [4, 8, 128]
+        samp_full = jnp.concatenate(parts, axis=1)           # [4, R8, 128]
+        warped_ref[0, pl.ds(l, 1), :, 0] = samp_full[None]
         alpha = samp_full[3]
         wgt = alpha * acc_t
         acc_rgb = acc_rgb + wgt[None] * samp_full[:3]
@@ -371,8 +422,8 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
                 return compute_plane(l, slot, acc_rgb, acc_d, acc_t)
 
             def dead(_):
-                warped_ref[0, pl.ds(l, 1)] = jnp.zeros(
-                    (1, 4, STRIP, w_img), f32)
+                warped_ref[0, pl.ds(l, 1), :, 0] = jnp.zeros(
+                    (1, 4, r8, LANES), f32)
                 return acc_rgb, acc_d, acc_t
 
             return lax.cond(jnp.max(acc_t) >= 1e-6, live, dead, 0)
@@ -380,14 +431,14 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
 
     acc_rgb, acc_d, acc_t = lax.fori_loop(
         0, L, plane_body, (acc_rgb0, acc_d0, acc_t0))
-    color_ref[0] = acc_rgb
-    depth_ref[0] = acc_d
-    trans_ref[0] = acc_t
+    color_ref[0, :, 0] = acc_rgb
+    depth_ref[0, 0] = acc_d
+    trans_ref[0, 0] = acc_t
 
 
 def warp_composite_fwd(
-    tex_pad: jnp.ndarray,   # [V, L, 4, Th+24+72, Wp] zero-padded textures
-    rx: jnp.ndarray,        # [V, H, W]
+    tex_pad: jnp.ndarray,   # [V, L, 4, Th+PADY_TOP+PADY_BOT, Wp] zero-padded
+    rx: jnp.ndarray,        # [V, NS, R8, 128] subtile-flat (flatten_pixels)
     ry: jnp.ndarray,
     q: jnp.ndarray,
     scal: jnp.ndarray,      # [V, L, 6]
@@ -399,27 +450,28 @@ def warp_composite_fwd(
 ):
     """Slab partials + warped residual for one plane chunk.
 
-    With ``carry`` the slab continues the over-composite of nearer planes
-    (sequential chaining — lets ``early_out`` skip occluded far slabs);
-    without it, partials start fresh and combine associatively via
-    ``combine_segments``.
+    All pixel-space tensors use the subtile-flat layout of
+    :func:`flatten_pixels` ([V, NS, R8, 128] per channel).  With ``carry``
+    the slab continues the over-composite of nearer planes (sequential
+    chaining — lets ``early_out`` skip occluded far slabs); without it,
+    partials start fresh and combine associatively via ``combine_segments``.
 
-    Returns (color_pre [V,3,H,W], depth_pre [V,H,W], trans [V,H,W],
-    warped [V,L,4,H,W]).
+    Returns (color_pre [V,3,NS,R8,128], depth_pre [V,NS,R8,128],
+    trans [V,NS,R8,128], warped [V,L,4,NS,R8,128]).
     """
     v, l_planes = tex_pad.shape[0], tex_pad.shape[1]
     tex_h = tex_pad.shape[3] - PADY_TOP - PADY_BOT
     tex_w = tex_h  # square textures; width padding beyond Tw+PAD is zeros
     assert bands.by_pad <= PADY_BOT, (bands, PADY_BOT)
-    h, w_img = rx.shape[1], rx.shape[2]
-    assert h % STRIP == 0 and w_img % LANES == 0, (h, w_img)
-    n_strips = h // STRIP
+    n_strips, r8 = rx.shape[1], rx.shape[2]
+    assert r8 % 8 == 0 and rx.shape[3] == LANES, rx.shape
+    assert bands.b_x > 0, "bands predate the MXU kernel; re-run planning"
 
     tex_flat = tex_pad.reshape(v * l_planes, 4, *tex_pad.shape[3:])
     if carry is None:
-        cin = jnp.zeros((v, 3, h, w_img), jnp.float32)
-        din = jnp.zeros((v, h, w_img), jnp.float32)
-        tin = jnp.ones((v, h, w_img), jnp.float32)
+        cin = jnp.zeros((v, 3, n_strips, r8, LANES), jnp.float32)
+        din = jnp.zeros((v, n_strips, r8, LANES), jnp.float32)
+        tin = jnp.ones((v, n_strips, r8, LANES), jnp.float32)
     else:
         cin, din, tin = carry
 
@@ -429,11 +481,13 @@ def warp_composite_fwd(
 
     grid = (v, n_strips)
     out_shape = (
-        jax.ShapeDtypeStruct((v, 3, h, w_img), jnp.float32),
-        jax.ShapeDtypeStruct((v, h, w_img), jnp.float32),
-        jax.ShapeDtypeStruct((v, h, w_img), jnp.float32),
-        jax.ShapeDtypeStruct((v, l_planes, 4, h, w_img), jnp.float32),
+        jax.ShapeDtypeStruct((v, 3, n_strips, r8, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((v, n_strips, r8, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((v, n_strips, r8, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((v, l_planes, 4, n_strips, r8, LANES), jnp.float32),
     )
+    px = lambda vi, si: (vi, si, 0, 0)
+    cspec = pl.BlockSpec((1, 3, 1, r8, LANES), lambda vi, si: (vi, 0, si, 0, 0))
     color, depth, trans, warped = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -442,20 +496,20 @@ def warp_composite_fwd(
             in_specs=[
                 pl.BlockSpec((1, l_planes, 6), lambda vi, si: (vi, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, STRIP, w_img), lambda vi, si: (vi, si, 0)),
-                pl.BlockSpec((1, STRIP, w_img), lambda vi, si: (vi, si, 0)),
-                pl.BlockSpec((1, STRIP, w_img), lambda vi, si: (vi, si, 0)),
-                pl.BlockSpec((1, 3, STRIP, w_img), lambda vi, si: (vi, 0, si, 0)),
-                pl.BlockSpec((1, STRIP, w_img), lambda vi, si: (vi, si, 0)),
-                pl.BlockSpec((1, STRIP, w_img), lambda vi, si: (vi, si, 0)),
+                pl.BlockSpec((1, 1, r8, LANES), px),
+                pl.BlockSpec((1, 1, r8, LANES), px),
+                pl.BlockSpec((1, 1, r8, LANES), px),
+                cspec,
+                pl.BlockSpec((1, 1, r8, LANES), px),
+                pl.BlockSpec((1, 1, r8, LANES), px),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(
-                pl.BlockSpec((1, 3, STRIP, w_img), lambda vi, si: (vi, 0, si, 0)),
-                pl.BlockSpec((1, STRIP, w_img), lambda vi, si: (vi, si, 0)),
-                pl.BlockSpec((1, STRIP, w_img), lambda vi, si: (vi, si, 0)),
-                pl.BlockSpec((1, l_planes, 4, STRIP, w_img),
-                             lambda vi, si: (vi, 0, 0, si, 0)),
+                cspec,
+                pl.BlockSpec((1, 1, r8, LANES), px),
+                pl.BlockSpec((1, 1, r8, LANES), px),
+                pl.BlockSpec((1, l_planes, 4, 1, r8, LANES),
+                             lambda vi, si: (vi, 0, 0, si, 0, 0)),
             ),
             scratch_shapes=[
                 pltpu.VMEM((1, 4, 2 * bands.by_pad, tex_pad.shape[4]), jnp.float32),
@@ -875,8 +929,10 @@ def render_mpi_fused_fwd(
     """
     v, l_planes = rgba.shape[0], rgba.shape[1]
     tex_h, tex_w = rgba.shape[3], rgba.shape[4]
+    h, w_img = ray_dir.shape[2], ray_dir.shape[3]
     scal = jax.vmap(lambda e: plane_affine(dhw, e, tex_h, tex_w))(eye_pos)
     rx, ry, q = ray_fields(ray_dir.astype(jnp.float32), z_dir.astype(jnp.float32))
+    rx, ry, q = flatten_pixels(rx), flatten_pixels(ry), flatten_pixels(q)
     tex_pad = pad_textures(rgba.astype(jnp.float32))
     carry = None
     warped_parts = []
@@ -887,7 +943,11 @@ def render_mpi_fused_fwd(
         carry = (c, d, t)
         warped_parts.append(w)
     color, depth, trans = carry
+    # warped stays in the subtile-flat layout (the VJP consumes it there)
     warped = jnp.concatenate(warped_parts, axis=1)
+    color = unflatten_pixels(color, h, w_img)
+    depth = unflatten_pixels(depth, h, w_img)
+    trans = unflatten_pixels(trans, h, w_img)
     return color, depth[:, None], trans[:, None], warped
 
 
@@ -929,14 +989,24 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
     def fn_bwd(res, cot):
         warped, dhw, ray_dir, eye_pos, z_dir = res
         g_color, g_depth, g_trans = cot
+        v, l_all = warped.shape[0], warped.shape[1]
+        h, w_img = ray_dir.shape[2], ray_dir.shape[3]
         scal = jax.vmap(lambda e: plane_affine(dhw, e, tex_h, tex_w))(eye_pos)
         rx, ry, q = ray_fields(ray_dir.astype(jnp.float32),
                                z_dir.astype(jnp.float32))
-        delta = scal[:, :, 4][:, :, None, None] * q[:, None]  # [V, L, H, W]
-        d_samp = composite_bwd(warped, delta, g_color,
-                               None if g_depth is None else g_depth[:, 0],
-                               None if g_trans is None else g_trans[:, 0],
-                               eps)
+        # composite backward runs in the kernel's subtile-flat layout
+        # (elementwise over pixels + reductions over planes: layout-free)
+        qf = flatten_pixels(q).reshape(v, -1, LANES)
+        warped_f = warped.reshape(v, l_all, 4, -1, LANES)
+        delta = scal[:, :, 4][:, :, None, None] * qf[:, None]
+        gc = flatten_pixels(g_color).reshape(v, 3, -1, LANES)
+        gd = None if g_depth is None else flatten_pixels(
+            g_depth[:, 0]).reshape(v, -1, LANES)
+        gt = None if g_trans is None else flatten_pixels(
+            g_trans[:, 0]).reshape(v, -1, LANES)
+        d_samp = composite_bwd(warped_f, delta, gc, gd, gt, eps)
+        d_samp = unflatten_pixels(
+            d_samp.reshape(v, l_all, 4, h // STRIP, -1, LANES), h, w_img)
         parts = []
         for (lo, hi, _), abands in zip(plan, adj_plan):
             parts.append(warp_adjoint(

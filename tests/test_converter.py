@@ -145,6 +145,69 @@ def test_generator_forward_matches_reference():
 
 
 @needs_reference
+@pytest.mark.parametrize("cond_mode,embed_func", [
+    ("cond_z", "mlp"),
+    ("cond_z", "conv_lrelu"),
+    ("cond_xyz", "mlp"),
+    ("cond_xyz", "conv_lrelu"),
+])
+def test_cond_generator_forward_matches_reference(cond_mode, embed_func):
+    """AdaIN conditioning modes (``networks_cond_on_pos_enc.py:820-861``):
+    converted reference weights => identical MPI outputs."""
+    import torch
+
+    ref_nets = _import_reference_networks()
+    import contextlib, io
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        g = ref_nets.Generator(
+            z_dim=64, c_dim=0, w_dim=64, img_resolution=32,
+            n_planes=6, plane_channels=4, pos_enc_multires=0,
+            torgba_cond_on_pos_enc=cond_mode,
+            torgba_cond_on_pos_enc_embed_func=embed_func,
+            torgba_sep_background=True, build_background_from_rgb=True,
+            build_background_from_rgb_ratio=0.05,
+            cond_on_pos_enc_only_alpha=True, gen_alpha_largest_res=32,
+            background_alpha_full=True, G_final_img_act="tanh",
+            mapping_kwargs={"num_layers": 8},
+            synthesis_kwargs={"channel_base": 1024, "channel_max": 64, "num_fp16_res": 0, "conv_clamp": None},
+        ).eval()
+    sd = {k: v.detach().numpy() for k, v in g.state_dict().items()}
+    gen_cfg = GeneratorCfg(
+        z_dim=64, w_dim=64, img_resolution=32,
+        synthesis=SynthesisNetworkCfg(
+            w_dim=64, img_resolution=32, channel_base=1024, channel_max=64,
+            num_bf16_res=0, conv_clamp=None, gen_alpha_largest_res=32,
+            cond_mode=cond_mode, embed_func=embed_func,
+        ),
+    )
+    params, buffers = convert_generator_checkpoint(sd, gen_cfg)
+
+    geom = geom_mod.build_plane_geometry(
+        n_planes=6, min_d=0.95, max_d=1.12, fov_deg=12.6,
+        sphere_center_z=1.0, sphere_r=1.0,
+        yaw_mean=0.0, yaw_std=0.289, pitch_mean=0.0, pitch_std=0.127,
+    )
+    xyz = geom_mod.multi_res_xyz(geom, 32)
+    z_np = np.random.default_rng(0).standard_normal((2, 64)).astype(np.float32)
+
+    ours = np.asarray(
+        gen_cfg.apply(params, buffers, jnp.asarray(z_np), None, xyz, 6, noise_mode="none")
+    )
+
+    xyz_torch = {r: torch.from_numpy(np.asarray(v)) for r, v in xyz.items()}
+    with torch.no_grad():
+        theirs = g(
+            z=torch.from_numpy(z_np), c=None,
+            mpi_xyz_coords=xyz_torch, xyz_coords_only_z=False, n_planes=6,
+            noise_mode="none",
+        ).numpy()
+
+    assert ours.shape == theirs.shape == (2, 6, 4, 32, 32)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-4)
+
+
+@needs_reference
 def test_discriminator_forward_matches_reference():
     import torch
 

@@ -151,6 +151,8 @@ def test_alpha_heads_stop_at_gen_alpha_largest_res():
         ("normalize_add_z", "conv_lrelu"),
         ("normalize_add_xyz", "modulated_lrelu"),
         ("cat_xyz", "mlp"),
+        ("cond_z", "mlp"),
+        ("cond_xyz", "conv_lrelu"),
     ],
 )
 def test_generator_variants_run(cond_mode, embed_func):

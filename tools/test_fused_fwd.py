@@ -44,8 +44,8 @@ def main():
     args = ap.parse_args()
 
     from gmpi_tpu.ops.pallas_warp import (
-        estimate_fused_bands, pad_textures, plane_affine, ray_fields,
-        warp_composite_fwd)
+        estimate_fused_bands, flatten_pixels, pad_textures, plane_affine,
+        ray_fields, unflatten_pixels, warp_composite_fwd)
     from gmpi_tpu.core.renderer import render_slab_partial
 
     L, R, TEX = args.L, args.R, args.R
@@ -57,12 +57,17 @@ def main():
     rx, ry, q = ray_fields(ray_dir, z_dir)
     bands = estimate_fused_bands(scal, rx, ry)
     print("bands:", bands)
+    rx, ry, q = flatten_pixels(rx), flatten_pixels(ry), flatten_pixels(q)
 
     tex_pad = pad_textures(rgba)
 
     if args.mode == "check":
         fwd = jax.jit(lambda tp: warp_composite_fwd(tp, rx, ry, q, scal, bands))
         color, depth, trans, warped = fwd(tex_pad)
+        color = unflatten_pixels(color, R, R)
+        depth = unflatten_pixels(depth, R, R)
+        trans = unflatten_pixels(trans, R, R)
+        warped = unflatten_pixels(warped, R, R)
         c_ref, d_ref, t_ref = jax.jit(
             lambda r: render_slab_partial(r, geom.dhw, ray_dir, eye, z_dir)
         )(rgba)

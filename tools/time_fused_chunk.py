@@ -19,13 +19,15 @@ def main():
 
     from test_fused_fwd import setup
     from gmpi_tpu.ops.pallas_warp import (
-        estimate_fused_bands, pad_textures, plane_affine, ray_fields,
-        warp_composite_fwd)
+        estimate_fused_bands, flatten_pixels, pad_textures, plane_affine,
+        ray_fields, warp_composite_fwd)
 
     L, R, TEX, PC = 96, 1024, 1024, 16
     geom, ray_dir, eye, z_dir = setup(L, R, TEX)
     scal_all = plane_affine(jnp.asarray(geom.dhw), eye[0], TEX, TEX)
     rx, ry, q = ray_fields(ray_dir, z_dir)
+    bands_rx = (rx, ry)  # row-major copies for band estimation
+    rxf, ryf, qf = flatten_pixels(rx), flatten_pixels(ry), flatten_pixels(q)
     rng = np.random.default_rng(0)
 
     total = 0.0
@@ -36,7 +38,7 @@ def main():
         tex_pad = pad_textures(rgba)
 
         def fwd(tp):
-            c, d, t, w = warp_composite_fwd(tp, rx, ry, q, scal, bands,
+            c, d, t, w = warp_composite_fwd(tp, rxf, ryf, qf, scal, bands,
                                             early_out=args.early_out)
             return jnp.sum(c) + jnp.sum(t) + jnp.sum(w) * 1e-30
 
@@ -61,8 +63,10 @@ def main():
         if args.check:
             from gmpi_tpu.core.renderer import render_slab_partial
             c, d, t_, w = jax.jit(
-                lambda tp: warp_composite_fwd(tp, rx, ry, q, scal, bands,
+                lambda tp: warp_composite_fwd(tp, rxf, ryf, qf, scal, bands,
                                               early_out=args.early_out))(tex_pad)
+            from gmpi_tpu.ops.pallas_warp import unflatten_pixels
+            c = unflatten_pixels(c, R, R); t_ = unflatten_pixels(t_, R, R)
             cr, dr, tr = jax.jit(
                 lambda r: render_slab_partial(r, geom.dhw[k*PC:(k+1)*PC],
                                               ray_dir, eye, z_dir))(rgba)
