@@ -55,25 +55,78 @@ class MetricLogger:
         self._f.close()
 
 
+def _to_u8(img_chw: np.ndarray) -> np.ndarray:
+    return ((np.asarray(img_chw).transpose(1, 2, 0) + 1) / 2 * 255).clip(0, 255).astype(np.uint8)
+
+
 def save_snapshot_grid(out_dir: str, cfg: ExperimentConfig, state: TrainState, step: int,
-                       n_imgs: int = 4, use_ema: bool = True) -> None:
-    """Fixed-seed image grid (EMA weights), the ``train.py:815-994`` analogue."""
+                       n_imgs: int = 4) -> None:
+    """Training snapshots (``gmpi/train.py:815-994`` analogue): fixed /
+    tilted / random view rows for the same fixed z's, for both EMA and raw
+    generator weights, plus per-plane MPI rgb/alpha sheets for seed 0."""
     from PIL import Image
 
     from gmpi_tpu.eval.harness import FakeImageGenerator
 
-    params = state.ema if use_ema else state.params_g
-    gen = FakeImageGenerator(cfg, params, state.buffers_g,
-                             n_planes=cfg.planes.n_planes, img_size=cfg.hparams.img_size)
-    rows = []
-    for i in range(n_imgs):
-        mpi = gen.sample_mpi(seed=i)
-        yaws, pitches = gen.sample_views(seed=1000 + i, n_views=1)
-        imgs, _ = gen.render(mpi, yaws, pitches)
-        rows.append(((np.asarray(imgs)[0].transpose(1, 2, 0) + 1) / 2 * 255).clip(0, 255).astype(np.uint8))
-    grid = np.concatenate(rows, axis=1)
     os.makedirs(out_dir, exist_ok=True)
-    Image.fromarray(grid).save(os.path.join(out_dir, f"snap_{step:08d}.png"))
+    cam = cfg.camera
+    tilt_yaw = cam.yaw_mean + 1.5 * cam.yaw_std
+    tilt_pitch = cam.pitch_mean + 0.75 * cam.pitch_std
+    for tag, params in (("ema", state.ema), ("raw", state.params_g)):
+        gen = FakeImageGenerator(cfg, params, state.buffers_g,
+                                 n_planes=cfg.planes.n_planes, img_size=cfg.hparams.img_size)
+        rows = []
+        for view in ("fixed", "tilted", "random"):
+            cols = []
+            for i in range(n_imgs):
+                mpi = gen.sample_mpi(seed=i)
+                if view == "fixed":
+                    yaws = np.array([[cam.yaw_mean]], np.float32)
+                    pitches = np.array([[cam.pitch_mean]], np.float32)
+                elif view == "tilted":
+                    yaws = np.array([[tilt_yaw]], np.float32)
+                    pitches = np.array([[tilt_pitch]], np.float32)
+                else:
+                    yaws, pitches = gen.sample_views(seed=1000 + i + step, n_views=1)
+                imgs, _ = gen.render(mpi, jnp.asarray(yaws), jnp.asarray(pitches))
+                cols.append(_to_u8(np.asarray(imgs)[0]))
+            rows.append(np.concatenate(cols, axis=1))
+        grid = np.concatenate(rows, axis=0)
+        Image.fromarray(grid).save(os.path.join(out_dir, f"snap_{step:08d}_{tag}.png"))
+        if tag == "ema":
+            # MPI sheets: planes tiled horizontally (rgb in [0,1], alpha)
+            mpi0 = np.asarray(gen.sample_mpi(seed=0))[0]  # [L, 4, H, W]
+            rgb = (np.concatenate(list(mpi0[:, :3].transpose(0, 2, 3, 1)), axis=1)
+                   * 255).clip(0, 255).astype(np.uint8)
+            alpha = (np.concatenate(list(mpi0[:, 3]), axis=1) * 255).clip(0, 255).astype(np.uint8)
+            Image.fromarray(rgb).save(os.path.join(out_dir, f"mpi_{step:08d}_rgb.png"))
+            Image.fromarray(alpha).save(os.path.join(out_dir, f"mpi_{step:08d}_alpha.png"))
+
+
+def _check_pose_corner_rays(cfg: ExperimentConfig, img_size: int = 64) -> None:
+    """Assert rays from the truncated pose-range corners hit the last plane
+    (``assert_not_out_of_last_plane``, ``gmpi/core/mpi.py:103-128,381-395``)."""
+    from gmpi_tpu.core import camera as cam_mod
+    from gmpi_tpu.core import poses as poses_mod
+    from gmpi_tpu.core.renderer import check_rays_hit_last_plane
+
+    cam = cfg.camera
+    n = cam.n_truncated_stds
+    yaw_c = [cam.yaw_mean - n * cam.yaw_std, cam.yaw_mean + n * cam.yaw_std]
+    pitch_c = [cam.pitch_mean - n * cam.pitch_std, cam.pitch_mean + n * cam.pitch_std]
+    corners = [(y, p) for y in yaw_c for p in pitch_c]
+    yaws = jnp.asarray([[y] for y, _ in corners])
+    pitches = jnp.asarray([[p] for _, p in corners])
+    c2w, _, _ = poses_mod.sample_sphere_poses(
+        None, len(corners), cam, given_yaws=yaws, given_pitches=pitches)
+    intr = cam_mod.intrinsics_from_fov(cfg.fov_deg, img_size, img_size)
+    ray_dir, eye, z_dir = cam_mod.generate_rays(intr, c2w)
+    geom = cfg.plane_geometry()
+    dhw_last = jnp.broadcast_to(jnp.asarray(geom.dhw[-1]), (len(corners), 3))
+    if not check_rays_hit_last_plane(dhw_last, eye, ray_dir, z_dir):
+        raise RuntimeError(
+            "pose-range corner rays miss the last plane — plane volume too "
+            "small for the camera distribution (check plane/camera config)")
 
 
 def train(
@@ -101,6 +154,12 @@ def train(
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
     logger = MetricLogger(out_dir)
+
+    # one-time geometric sanity: every ray from the truncated pose-range
+    # corners must hit the last plane inside its extent
+    # (``gmpi/core/mpi.py:381-395`` runs this every render; once at setup
+    # suffices because the pose range and plane volume are static)
+    _check_pose_corner_rays(cfg)
 
     state = init_train_state(cfg, jax.random.key(seed))
     # startup introspection (``misc.print_module_summary`` analogue)

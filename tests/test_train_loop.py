@@ -62,6 +62,38 @@ def test_train_loop_end_to_end(tmp_path):
     assert int(np.asarray(state2.step)) == 10
 
 
+def test_train_loop_fid_and_rich_snapshots(tmp_path):
+    """In-training FID wiring (``gmpi/train.py:1009-1071``) and the
+    fixed/tilted/random EMA+raw grids with MPI sheets (``:815-994``)."""
+    cfg = tiny_config()
+    out = str(tmp_path / "run")
+
+    def stub_features(images):
+        flat = images.reshape(len(images), -1)
+        return np.stack([flat.mean(1), flat.std(1)], axis=1)
+
+    rng = np.random.default_rng(0)
+    reals = rng.uniform(-1, 1, (8, 3, 16, 16)).astype(np.float32)
+    state = train(
+        cfg,
+        synthetic_batches(5),
+        out,
+        total_iters=5,
+        sample_interval=2,
+        model_save_interval=100,
+        eval_freq=2,
+        fid_feature_fn=stub_features,
+        fid_real_images=reals,
+        seed=0,
+    )
+    assert int(np.asarray(state.step)) == 5
+    lines = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert any("fid" in l for l in lines)
+    snaps = os.listdir(os.path.join(out, "snaps"))
+    for pat in ("_ema.png", "_raw.png", "_rgb.png", "_alpha.png"):
+        assert any(f.endswith(pat) for f in snaps), (pat, snaps)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = tiny_config()
     state = init_train_state(cfg, jax.random.key(0))

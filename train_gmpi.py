@@ -25,6 +25,15 @@ def main():
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--warm_start", default=None,
                    help=".npz state dict (reference naming) to warm start G from")
+    p.add_argument("--warm_start_d", default=None,
+                   help=".npz state dict to warm start D from (the reference "
+                        "copies BOTH G and D from the StyleGAN2 pkl, "
+                        "gmpi/train.py:197-230)")
+    p.add_argument("--inception_weights", default=None,
+                   help=".npz InceptionV3 weights; enables in-training FID "
+                        "every --fid_interval steps (gmpi/train.py:1009-1071)")
+    p.add_argument("--fid_interval", type=int, default=5000)
+    p.add_argument("--fid_n_imgs", type=int, default=2048)
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (multi-host pod slice)")
@@ -64,7 +73,7 @@ def main():
         seed=args.seed,
     )
 
-    init_params_g = init_buffers_g = None
+    init_params_g = init_buffers_g = init_params_d = None
     if args.warm_start:
         from gmpi_tpu.models.converter import convert_generator_checkpoint
 
@@ -73,6 +82,33 @@ def main():
         init_params_g, init_buffers_g = convert_generator_checkpoint(
             sd, cfg.generator_cfg(), warm_start=True, key=jax.random.key(args.seed)
         )
+    if args.warm_start_d:
+        from gmpi_tpu.models.converter import convert_discriminator_checkpoint
+
+        with np.load(args.warm_start_d) as data:
+            sd_d = {k: data[k] for k in data.files}
+        init_params_d = convert_discriminator_checkpoint(
+            sd_d, cfg.discriminator_cfg(), warm_start=True,
+            key=jax.random.key(args.seed + 7),
+        )
+
+    fid_feature_fn = fid_real_images = None
+    if args.inception_weights:
+        from gmpi_tpu.eval.inception import load_params, make_feature_fn
+
+        inc_params = load_params(args.inception_weights)
+        fid_feature_fn = make_feature_fn(inc_params)
+        # cache the first N real images for the in-training FID reference set
+        # (gmpi/fid_evaluation.py:38-86's real-image cache analogue)
+        reals = []
+        n_have = 0
+        for i in range(len(dataset)):
+            img = np.asarray(dataset[i][0])
+            reals.append(img)
+            n_have += 1
+            if n_have >= args.fid_n_imgs:
+                break
+        fid_real_images = np.stack(reals)
 
     train(
         cfg,
@@ -82,7 +118,11 @@ def main():
         resume=not args.no_resume,
         init_params_g=init_params_g,
         init_buffers_g=init_buffers_g,
+        init_params_d=init_params_d,
         seed=args.seed,
+        eval_freq=args.fid_interval,
+        fid_feature_fn=fid_feature_fn,
+        fid_real_images=fid_real_images,
     )
 
 
