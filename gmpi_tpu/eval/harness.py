@@ -196,6 +196,49 @@ def compute_fid_kid_dirs(
     }
 
 
+def compute_geometry_dir(
+    fake_dir: str, n_imgs: int, detector, estimator
+) -> Dict[str, float]:
+    """Depth + pose-angle error over a ``prepare_fake_images(task="geometry")``
+    dump (``gmpi/eval/compute_geometry.py:24-68``): MTCNN-style landmarks ->
+    Deep3DFace-style estimation -> z-normalized depth MSE on the face mask +
+    MSE between rendered (pitch, -yaw, 0) and predicted angles.  Images with
+    no detected face are skipped, as in the reference."""
+    from gmpi_tpu.eval.metrics import angle_error, normalized_depth_error
+
+    rgb_dir = os.path.join(fake_dir, "rgb")
+    depth_dir = os.path.join(fake_dir, "depth")
+    angle_dir = os.path.join(fake_dir, "angle")
+    d_errs, a_errs, n_skipped = [], [], 0
+    for i in range(n_imgs):
+        img = np.asarray(Image.open(os.path.join(rgb_dir, f"{i:06d}.png")))
+        lm = detector.detect(img)
+        pred = estimator.estimate(img, lm) if lm is not None else None
+        if pred is None:
+            n_skipped += 1
+            continue
+        rendered_pitch_yaw = np.load(os.path.join(angle_dir, f"{i:06d}.npy"))
+        a_errs.append(angle_error(rendered_pitch_yaw, pred["angles"]))
+        if pred.get("depth") is not None and pred.get("mask") is not None:
+            rendered_depth = np.load(os.path.join(depth_dir, f"{i:06d}.npy"))
+            pd = np.asarray(pred["depth"], np.float32)
+            if pd.shape != rendered_depth.shape:
+                pd = np.asarray(
+                    Image.fromarray(pd).resize(rendered_depth.shape[::-1]))
+                mask = np.asarray(Image.fromarray(
+                    pred["mask"].astype(np.uint8)).resize(rendered_depth.shape[::-1]))
+            else:
+                mask = np.asarray(pred["mask"], np.uint8)
+            d_errs.append(normalized_depth_error(rendered_depth, pd, mask))
+    out: Dict[str, float] = {"n_evaluated": float(n_imgs - n_skipped),
+                             "n_skipped": float(n_skipped)}
+    if a_errs:
+        out["angle_error_mse"] = float(np.mean(a_errs))
+    if d_errs:
+        out["depth_error_mse"] = float(np.mean(d_errs))
+    return out
+
+
 def compute_consistency_dir(
     fake_dir: str, n_imgs: int, embed_fn: Callable[[np.ndarray], np.ndarray]
 ) -> Dict[str, float]:
