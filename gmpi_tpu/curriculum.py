@@ -49,6 +49,25 @@ class Curriculum:
         return sorted(self.schedule)
 
 
+def apply_to_config(cfg, entry: Dict[str, Any]):
+    """Apply a curriculum entry's hyperparameters onto an ``ExperimentConfig``
+    (``train_helpers.modify_curriculums``'s role, ``train_helpers.py:33-108``).
+
+    Recognized keys mirror the reference res_dict: ``batch_size``,
+    ``img_size``, ``tex_size``, ``batch_split``, ``gen_lr``, ``disc_lr``.
+    Resolution/batch changes are recompile events on TPU (static jit
+    shapes); the training driver rebuilds its jitted step and dataloader at
+    each ``stage_boundaries()`` crossing.
+    """
+    hp_keys = {"batch_size", "img_size", "tex_size", "batch_split",
+               "gen_lr", "disc_lr"}
+    updates = {k: v for k, v in entry.items() if k in hp_keys}
+    if not updates:
+        return cfg
+    return dataclasses.replace(
+        cfg, hparams=dataclasses.replace(cfg.hparams, **updates))
+
+
 def from_reference_style(d: Dict) -> Curriculum:
     """Build from a reference-style dict (int keys = schedule, str keys =
     constants)."""

@@ -145,6 +145,8 @@ def train(
     fid_feature_fn: Optional[Callable] = None,
     fid_real_images: Optional[np.ndarray] = None,
     snapshot_fn: Optional[Callable] = None,
+    curriculum=None,
+    rebuild_batches: Optional[Callable] = None,
 ) -> TrainState:
     """Run the GAN loop over ``batches`` (yielding ``(imgs, flat_pose, ...)``
     host arrays).  Returns the final state."""
@@ -186,13 +188,27 @@ def train(
     # data mesh over as many devices as divide the batch
     import math
 
-    devs = jax.devices()
-    n_data = math.gcd(len(devs), cfg.hparams.batch_size)
-    mesh = make_mesh([n_data], ("data",), devices=devs[:n_data])
-    repl = NamedSharding(mesh, P())
-    batch_sh = NamedSharding(mesh, P("data"))
+    def data_shardings(batch_size):
+        devs = jax.devices()
+        n_data = math.gcd(len(devs), batch_size)
+        mesh = make_mesh([n_data], ("data",), devices=devs[:n_data])
+        return NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+
+    repl, batch_sh = data_shardings(cfg.hparams.batch_size)
     state = jax.device_put(state, repl)
-    step_fn = make_train_step(cfg)
+
+    # curriculum: each stage boundary rebuilds the jitted step (resolution /
+    # batch changes are recompile events — static jit shapes) and optionally
+    # the data iterator (``curriculums.py:50-85``, ``train.py:360-410``)
+    from gmpi_tpu.curriculum import apply_to_config
+
+    step0 = int(np.asarray(state.step))
+    stage_cfg = apply_to_config(cfg, curriculum.at_step(step0)) if curriculum else cfg
+    step_fn = make_train_step(stage_cfg)
+    next_boundary = curriculum.next_upsample_step(step0) if curriculum else float("inf")
+    if stage_cfg.hparams.batch_size != cfg.hparams.batch_size:
+        repl, batch_sh = data_shardings(stage_cfg.hparams.batch_size)
+        state = jax.device_put(state, repl)
 
     rng = jax.random.key(seed + 1)
     t_start = time.time()
@@ -200,6 +216,17 @@ def train(
         step = int(np.asarray(state.step))
         if step >= total_iters:
             break
+        if curriculum is not None and step >= next_boundary:
+            entry = curriculum.at_step(step)
+            stage_cfg = apply_to_config(cfg, entry)
+            step_fn = make_train_step(stage_cfg)
+            next_boundary = curriculum.next_upsample_step(step)
+            repl, batch_sh = data_shardings(stage_cfg.hparams.batch_size)
+            state = jax.device_put(state, repl)
+            print(f"[curriculum] stage change at step {step}: {entry}", flush=True)
+            if rebuild_batches is not None:
+                batches = iter(rebuild_batches(entry))
+                batch = next(batches)
         imgs, flat_pose = batch[0], batch[1]
         imgs = jax.device_put(jnp.asarray(imgs, jnp.float32), batch_sh)
         flat_pose = jax.device_put(jnp.asarray(flat_pose, jnp.float32), batch_sh)
@@ -210,11 +237,11 @@ def train(
             metrics = {**metrics, "steps_per_s": (step + 1) / (time.time() - t_start)}
             logger.log(step, metrics)
         if step > 0 and step % sample_interval == 0:
-            (snapshot_fn or save_snapshot_grid)(os.path.join(out_dir, "snaps"), cfg, state, step)
+            (snapshot_fn or save_snapshot_grid)(os.path.join(out_dir, "snaps"), stage_cfg, state, step)
         if step > 0 and step % model_save_interval == 0:
             save_checkpoint(ckpt_dir, state)
         if fid_feature_fn is not None and fid_real_images is not None and step > 0 and step % eval_freq == 0:
-            fid = compute_training_fid(cfg, state, fid_feature_fn, fid_real_images)
+            fid = compute_training_fid(stage_cfg, state, fid_feature_fn, fid_real_images)
             logger.log(step, {"fid": fid})
 
     save_checkpoint(ckpt_dir, state)
