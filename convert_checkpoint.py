@@ -55,6 +55,58 @@ def _install_reference(path: str) -> None:
             sys.path.insert(0, p)
 
 
+class _TFStub(dict):
+    """Attribute-access dict standing in for ``dnnlib.tflib.network.Network``
+    (the reference's ``_TFNetworkStub``, ``legacy.py:69-71``)."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+
+def _load_pkl_state_dict(args):
+    """Extract a torch-style state dict from a StyleGAN2 ``.pkl``.
+
+    TF-era pickles convert via the pure name-mapping table
+    (``gmpi_tpu/models/legacy_tf.py`` — no reference code needed); torch-era
+    source-pickled modules still need the reference repo on PYTHONPATH to
+    unpickle (``persistence.py`` embeds class source)."""
+    import pickle
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            # tflib Network and dnnlib EasyDicts all behave as attr-dicts
+            if module.startswith("dnnlib"):
+                return _TFStub
+            return super().find_class(module, name)
+
+    try:
+        with open(args.src, "rb") as f:
+            data = _Unpickler(f).load()
+    except Exception:
+        data = None
+    if (isinstance(data, tuple) and len(data) == 3
+            and all(isinstance(n, _TFStub) for n in data)):
+        from gmpi_tpu.models.legacy_tf import (
+            collect_tf_params, convert_tf_discriminator_params,
+            convert_tf_generator_params)
+
+        tf_g, tf_d, tf_gs = data
+        net = {"G": tf_g, "D": tf_d, "G_ema": tf_gs}[args.which]
+        res = int(net.static_kwargs.get("resolution", 1024))
+        conv = (convert_tf_discriminator_params if args.which == "D"
+                else convert_tf_generator_params)
+        return conv(collect_tf_params(net), res)
+    # torch-era pickle: needs the reference's persistence machinery
+    _install_reference(args.reference)
+    with open(args.src, "rb") as f:
+        data = pickle.Unpickler(f).load()
+    net = data[args.which]
+    return {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", required=True, help=".pth state dict or StyleGAN2 .pkl")
@@ -69,13 +121,7 @@ def main():
     import torch
 
     if args.src.endswith(".pkl"):
-        _install_reference(args.reference)
-        import pickle
-
-        with open(args.src, "rb") as f:
-            data = pickle.Unpickler(f).load()
-        net = data[args.which]
-        sd = {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+        sd = _load_pkl_state_dict(args)
     else:
         obj = torch.load(args.src, map_location="cpu", weights_only=False)
         if not isinstance(obj, dict):

@@ -395,3 +395,155 @@ def test_learnable_param_generator_forward_matches_reference():
     with torch.no_grad():
         theirs = g(torch.from_numpy(z_np), None, xyz_torch, False, 6, noise_mode="none").numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# TF-legacy conversion (pure name mapping, gmpi_tpu/models/legacy_tf.py)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_tf_generator(res=16, fmaps=8, z=8, nmap=2):
+    """TF-style variable dict with the names legacy.py:163-205 consumes."""
+    rng = np.random.default_rng(0)
+
+    def arr(*shape):
+        return rng.standard_normal(shape).astype(np.float32)
+
+    tf = {"dlatent_avg": arr(z)}
+    for i in range(nmap):
+        tf[f"mapping/Dense{i}/weight"] = arr(z, z)
+        tf[f"mapping/Dense{i}/bias"] = arr(z)
+    tf["synthesis/4x4/Const/const"] = arr(1, fmaps, 4, 4)
+    tf["synthesis/4x4/Conv/weight"] = arr(3, 3, fmaps, fmaps)
+    tf["synthesis/4x4/Conv/bias"] = arr(fmaps)
+    tf["synthesis/4x4/Conv/noise_strength"] = arr()
+    tf["synthesis/4x4/Conv/mod_weight"] = arr(z, fmaps)
+    tf["synthesis/4x4/Conv/mod_bias"] = arr(fmaps)
+    tf["synthesis/noise0"] = arr(1, 1, 4, 4)
+    tf["synthesis/4x4/ToRGB/weight"] = arr(1, 1, fmaps, 3)
+    tf["synthesis/4x4/ToRGB/bias"] = arr(3)
+    tf["synthesis/4x4/ToRGB/mod_weight"] = arr(z, fmaps)
+    tf["synthesis/4x4/ToRGB/mod_bias"] = arr(fmaps)
+    r = 8
+    while r <= res:
+        lg = int(np.log2(r))
+        for conv, k in (("Conv0_up", 2 * lg - 5), ("Conv1", 2 * lg - 4)):
+            tf[f"synthesis/{r}x{r}/{conv}/weight"] = arr(3, 3, fmaps, fmaps)
+            tf[f"synthesis/{r}x{r}/{conv}/bias"] = arr(fmaps)
+            tf[f"synthesis/{r}x{r}/{conv}/noise_strength"] = arr()
+            tf[f"synthesis/{r}x{r}/{conv}/mod_weight"] = arr(z, fmaps)
+            tf[f"synthesis/{r}x{r}/{conv}/mod_bias"] = arr(fmaps)
+            tf[f"synthesis/noise{k}"] = arr(1, 1, r, r)
+        tf[f"synthesis/{r}x{r}/ToRGB/weight"] = arr(1, 1, fmaps, 3)
+        tf[f"synthesis/{r}x{r}/ToRGB/bias"] = arr(3)
+        tf[f"synthesis/{r}x{r}/ToRGB/mod_weight"] = arr(z, fmaps)
+        tf[f"synthesis/{r}x{r}/ToRGB/mod_bias"] = arr(fmaps)
+        r *= 2
+    return tf
+
+
+def test_tf_legacy_generator_mapping():
+    from gmpi_tpu.models.legacy_tf import convert_tf_generator_params
+
+    tf = _synthetic_tf_generator(res=16)
+    sd = convert_tf_generator_params(tf, 16)
+
+    np.testing.assert_array_equal(sd["mapping.w_avg"], tf["dlatent_avg"])
+    np.testing.assert_array_equal(
+        sd["mapping.fc0.weight"], tf["mapping/Dense0/weight"].T)
+    np.testing.assert_array_equal(
+        sd["synthesis.b4.const"], tf["synthesis/4x4/Const/const"][0])
+    # conv0 weights flip spatially then HWIO->OIHW
+    w = tf["synthesis/8x8/Conv0_up/weight"]
+    np.testing.assert_array_equal(
+        sd["synthesis.b8.conv0.weight"], w[::-1, ::-1].transpose(3, 2, 0, 1))
+    # mod_bias gets +1 (TF stores style bias around 0; torch around 1)
+    np.testing.assert_array_equal(
+        sd["synthesis.b16.conv1.affine.bias"],
+        tf["synthesis/16x16/Conv1/mod_bias"] + 1)
+    np.testing.assert_array_equal(
+        sd["synthesis.b16.conv1.noise_const"], tf["synthesis/noise4"][0, 0])
+    # every produced name is in the reference torch naming our converter reads
+    from gmpi_tpu.models.converter import torch_key_to_path
+
+    for k in sd:
+        assert torch_key_to_path(k) is not None, k
+
+
+def test_tf_legacy_discriminator_mapping():
+    from gmpi_tpu.models.legacy_tf import convert_tf_discriminator_params
+
+    rng = np.random.default_rng(1)
+
+    def arr(*shape):
+        return rng.standard_normal(shape).astype(np.float32)
+
+    res, fm = 8, 8
+    tf = {
+        "8x8/FromRGB/weight": arr(1, 1, 3, fm), "8x8/FromRGB/bias": arr(fm),
+        "8x8/Conv0/weight": arr(3, 3, fm, fm), "8x8/Conv0/bias": arr(fm),
+        "8x8/Conv1_down/weight": arr(3, 3, fm, fm), "8x8/Conv1_down/bias": arr(fm),
+        "8x8/Skip/weight": arr(1, 1, fm, fm),
+        "4x4/Conv/weight": arr(3, 3, fm + 1, fm), "4x4/Conv/bias": arr(fm),
+        "4x4/Dense0/weight": arr(fm * 16, fm), "4x4/Dense0/bias": arr(fm),
+        "Output/weight": arr(fm, 1), "Output/bias": arr(1),
+    }
+    sd = convert_tf_discriminator_params(tf, res)
+    np.testing.assert_array_equal(
+        sd["b8.fromrgb.weight"], tf["8x8/FromRGB/weight"].transpose(3, 2, 0, 1))
+    np.testing.assert_array_equal(sd["b4.out.weight"], tf["Output/weight"].T)
+    np.testing.assert_array_equal(
+        sd["b8.conv1.weight"], tf["8x8/Conv1_down/weight"].transpose(3, 2, 0, 1))
+
+
+def test_tf_legacy_pickle_roundtrip(tmp_path):
+    """A synthetic TF-era pickle converts through convert_checkpoint's own
+    unpickler with no reference code on the path."""
+    import pickle
+    import subprocess
+    import sys as _sys
+
+    tfv = _synthetic_tf_generator(res=16)
+
+    class Network(dict):
+        pass
+
+    Network.__module__ = "dnnlib.tflib.network"
+    Network.__qualname__ = "Network"
+
+    # structure: components {mapping, synthesis}; variables are (name, value)
+    def stub(variables, components=None, **extra):
+        n = Network()
+        n["variables"] = variables
+        n["components"] = components or {}
+        n.update(extra)
+        return n
+
+    g_vars = [(k, v) for k, v in tfv.items() if "/" not in k]
+    m_vars = [(k.split("/", 1)[1], v) for k, v in tfv.items() if k.startswith("mapping/")]
+    s_vars = [(k.split("/", 1)[1], v) for k, v in tfv.items() if k.startswith("synthesis/")]
+    net = stub(g_vars, {"mapping": stub(m_vars), "synthesis": stub(s_vars)},
+               static_kwargs={"resolution": 16})
+
+    # fake dnnlib module so pickle can serialize the class reference
+    pkl_path = tmp_path / "net.pkl"
+    mod = types.ModuleType("dnnlib.tflib.network")
+    mod.Network = Network
+    _sys.modules.setdefault("dnnlib", types.ModuleType("dnnlib"))
+    _sys.modules["dnnlib.tflib"] = types.ModuleType("dnnlib.tflib")
+    _sys.modules["dnnlib.tflib.network"] = mod
+    with open(pkl_path, "wb") as f:
+        pickle.dump((net, net, net), f)
+    for m in ("dnnlib", "dnnlib.tflib", "dnnlib.tflib.network"):
+        _sys.modules.pop(m, None)
+
+    out = tmp_path / "out.npz"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "convert_checkpoint.py"),
+         "--src", str(pkl_path), "--out", str(out), "--reference", "/nonexistent"],
+        capture_output=True, text=True, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    with np.load(out) as data:
+        assert "mapping.fc0.weight" in data.files
+        np.testing.assert_array_equal(data["mapping.w_avg"], tfv["dlatent_avg"])
