@@ -424,7 +424,7 @@ def plan_fused(
     rx, ry, _ = pw.ray_fields(jnp.asarray(ray_dir, jnp.float32),
                               jnp.asarray(z_dir, jnp.float32))
     plan = pw.plan_fused_render(scal, rx, ry, margin=margin)
-    adj = pw.plan_adjoint(scal, rx, ry, plan, tex_h, tex_w, margin=margin)
+    adj = pw.plan_splat(scal, ry, plan, tex_h)
     plan = tuple((int(lo), int(hi), b) for lo, hi, b in plan)
     return plan, tuple(adj)
 

@@ -526,6 +526,286 @@ def warp_composite_fwd(
     return color, depth, trans, warped
 
 
+# ---------------------------------------------------------------------------
+# MXU splat adjoint: the exact transpose of the MXU forward kernel.
+# ---------------------------------------------------------------------------
+
+OUT_PAD_TOP = 64   # texel-row padding above the texture gradient: pixel
+OUT_PAD_BOT = 64   # subtiles splatting (partially) into the zero-pad region
+BLK = 64           # output texel rows per grid block (spill-carried)
+
+
+class SplatPlan(NamedTuple):
+    """Static per-chunk config of the splat adjoint."""
+    n_ps: int      # pixel strips DMA'd per texel block
+    n_blocks: int  # texel-row blocks (= padded rows / BLK)
+
+
+def _subtile_row_bases(scal, ry):
+    """Per-(view, plane, strip, subtile) diagonal texel-row base
+    ``floor(min(fy_m - i)) - 1`` — jittable, mirrors the kernels exactly.
+
+    scal [V, L, 6], ry [V, H, W] (row-major) -> int32 [V, L, NS, NT].
+    """
+    v, h, w = ry.shape
+    ns, nt = h // STRIP, w // SUBW
+    i_arr = jnp.arange(STRIP, dtype=jnp.float32)[:, None, None]
+    ry5 = ry.reshape(v, ns, STRIP, nt, SUBW)
+
+    def one(s, ryv):  # s [6], ryv [ns, STRIP, nt, SUBW]
+        fy = s[2] * ryv + s[3]
+        fy_m = jnp.where(fy < -1.0, 1e9, fy) - i_arr[None]
+        return jnp.floor(jnp.min(fy_m, axis=(1, 3))).astype(jnp.int32) - 1
+
+    return jax.vmap(lambda sv, ryv: jax.vmap(lambda s: one(s, ryv))(sv))(scal, ry5)
+
+
+def splat_bases(scal, ry, tex_h: int, n_ps: int, n_blocks: int):
+    """Per-(view, plane, block) first pixel strip in the block's DMA band
+    (scalar-prefetch operand of the splat kernel) — jittable.
+
+    A (strip, subtile) is assigned to the block containing its out-row base
+    ``oyb = ryb + OUT_PAD_TOP``; strips entirely above/below the padded
+    output are skipped (their taps land only in the sliced-off pad)."""
+    v = ry.shape[0]
+    ns = ry.shape[1] // STRIP
+    rb = _subtile_row_bases(scal, ry)                     # [V, L, NS, NT]
+    n_l = rb.shape[1]
+    oyb = rb + OUT_PAD_TOP
+    valid = (oyb >= 0) & (oyb < n_blocks * BLK)
+    blk = jnp.clip(oyb // BLK, 0, n_blocks - 1)
+    strip_ids = jnp.arange(ns, dtype=jnp.int32)[None, None, :, None]
+    big = jnp.int32(ns + 1000)
+    # min strip per block via one-hot masking over the small NB axis
+    out = []
+    for b in range(n_blocks):
+        m = valid & (blk == b)
+        s_min = jnp.min(jnp.where(m, strip_ids, big), axis=(2, 3))  # [V, L]
+        out.append(jnp.where(s_min > ns, 0, s_min))
+    ps = jnp.stack(out, axis=-1)                           # [V, L, NB]
+    return jnp.clip(ps, 0, max(ns - n_ps, 0)).astype(jnp.int32)
+
+
+def plan_splat(scal, ry, plan, tex_h: int) -> list:
+    """Host-side splat planning: per forward chunk, the pixel-strip band
+    width ``n_ps`` (max strips any block needs) and the block count."""
+    import numpy as _np
+
+    rows = OUT_PAD_TOP + tex_h + OUT_PAD_BOT
+    assert rows % BLK == 0
+    nb = rows // BLK
+    rb = _np.asarray(_subtile_row_bases(jnp.asarray(scal), jnp.asarray(ry)))
+    v, n_l, ns, nt = rb.shape
+    oyb = rb + OUT_PAD_TOP
+    valid = (oyb >= 0) & (oyb < nb * BLK)
+    blk = _np.clip(oyb // BLK, 0, nb - 1)
+    plans = []
+    for lo, hi, _bands in plan:
+        n_ps = 1
+        for vi in range(v):
+            for l in range(lo, hi):
+                for b in _np.unique(blk[vi, l][valid[vi, l]]):
+                    m = valid[vi, l] & (blk[vi, l] == b)
+                    s = _np.nonzero(m.any(axis=1))[0]
+                    n_ps = max(n_ps, int(s.max() - s.min() + 1))
+        plans.append(SplatPlan(n_ps=min(n_ps, ns), n_blocks=nb))
+    return plans
+
+
+def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
+                  acc, gbuf, rxbuf, rybuf, sems, *,
+                  L, tex_h, bands: FusedBands, splat: SplatPlan,
+                  wp: int, precision):
+    """Exact transpose of ``_fwd_kernel``'s warp: per (plane, texel block),
+    pixel strips splat ``d_win[(c,r), x] = sum_p hat_y[r,p] g[c,p] hat_x[x,p]``
+    (one MXU contraction over the 1024 subtile pixels) into a spill-carried
+    texture-row accumulator.  Same hats, same bases, same clamps as the
+    forward — the VJP is exact up to fp32/bf16x3 reassociation."""
+    d_y, b_xp = bands.d_y, bands.b_x
+    n_ps, n_blocks = splat.n_ps, splat.n_blocks
+    rw = STRIP + d_y
+    rwp = ((rw + 8 + 7) // 8) * 8
+    acc_r = BLK + rwp + 8
+    w_add = 384
+    f32 = jnp.float32
+    vi = pl.program_id(0)
+    li = pl.program_id(1)
+    bi = pl.program_id(2)
+    r8 = rx_ref.shape[2]
+    n_sub = r8 // 8
+    ns_total = rx_ref.shape[1]
+
+    sub_i = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    lane8 = lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    i_blk = (sub_i + 8 * (lane8 // SUBW)).astype(f32)
+    iota_x = lax.broadcasted_iota(jnp.int32, (b_xp, 8, LANES), 0).astype(f32)
+    iota_r = lax.broadcasted_iota(jnp.int32, (rwp, 8, LANES), 0).astype(f32)
+
+    def dma(step, slot):
+        l = step // n_blocks
+        b = lax.rem(step, n_blocks)
+        ps = ps_ref[vi, l, b]
+        return [
+            pltpu.make_async_copy(
+                g_ref.at[pl.ds(vi * L + l, 1), :, pl.ds(ps, n_ps)],
+                gbuf.at[:, :, pl.ds(slot * n_ps, n_ps)],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                rx_ref.at[pl.ds(vi, 1), pl.ds(ps, n_ps)],
+                rxbuf.at[:, pl.ds(slot * n_ps, n_ps)],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                ry_ref.at[pl.ds(vi, 1), pl.ds(ps, n_ps)],
+                rybuf.at[:, pl.ds(slot * n_ps, n_ps)],
+                sems.at[slot, 2]),
+        ]
+
+    step0 = li * n_blocks + bi
+    slot = lax.rem(step0, 2)
+
+    @pl.when(step0 == 0)
+    def _():
+        for c in dma(step0, slot):
+            c.start()
+
+    @pl.when(step0 + 1 < L * n_blocks)
+    def _():
+        for c in dma(step0 + 1, lax.rem(step0 + 1, 2)):
+            c.start()
+
+    for c in dma(step0, slot):
+        c.wait()
+
+    @pl.when(bi == 0)
+    def _():
+        acc[:, :, :] = jnp.zeros((4, acc_r, wp), f32)
+
+    ax = scal_ref[0, li, 0]
+    bx = scal_ref[0, li, 1]
+    ay = scal_ref[0, li, 2]
+    by = scal_ref[0, li, 3]
+    ps0 = ps_ref[vi, li, bi]
+
+    def strip_body(n, _):
+        for st in range(n_sub):
+            rx = rxbuf[0, pl.ds(slot * n_ps + n, 1), st * 8:(st + 1) * 8][0]
+            ry = rybuf[0, pl.ds(slot * n_ps + n, 1), st * 8:(st + 1) * 8][0]
+            fx = ax * rx + bx
+            fy = ay * ry + by
+            fx_m = jnp.where(fx < -1.0, 1e9, fx)
+            fy_m = jnp.where(fy < -1.0, 1e9, fy)
+            cx = jnp.floor(jnp.min(fx_m)).astype(jnp.int32) - 1
+            cx = jnp.clip(cx, -2, wp - PAD - b_xp)
+            ryb = jnp.floor(jnp.min(fy_m - i_blk)).astype(jnp.int32) - 1
+            oyb = ryb + OUT_PAD_TOP
+            mine = ((oyb >= bi * BLK) & (oyb < (bi + 1) * BLK)
+                    & (oyb >= 0) & (oyb < n_blocks * BLK))
+
+            @pl.when(mine)
+            def _():
+                g = gbuf[0, :, pl.ds(slot * n_ps + n, 1),
+                         st * 8:(st + 1) * 8, :][:, 0]          # [4, 8, 128]
+                fx_rel = jnp.where(fx < -1.0, -1e9, fx - cx.astype(f32))
+                hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(fx_rel[None] - iota_x))
+                fy_rel = fy - ryb.astype(f32)
+                hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(fy_rel[None] - iota_r))
+                t_parts = [hat_y * g[c][None] for c in range(4)]
+                t_all = jnp.concatenate(t_parts, axis=0)       # [4*rwp, 8, 128]
+                d_win = lax.dot_general(
+                    t_all, hat_x, (((1, 2), (1, 2)), ((), ())),
+                    precision=precision,
+                    preferred_element_type=f32)                 # [4*rwp, b_xp]
+                d_win = d_win.reshape(4, rwp, b_xp)
+                # place at (row oyb - bi*BLK, lane cx + PAD) and RMW-add
+                row_rel = oyb - bi * BLK                        # [0, BLK)
+                row8 = (row_rel // 8) * 8
+                rem = row_rel - row8
+                d_pad = jnp.concatenate(
+                    [d_win, jnp.zeros((4, 8, b_xp), f32)], axis=1)
+                d_pad = pltpu.roll(d_pad, rem, 1)               # rows [rem, rem+rwp)
+                cxp = cx + PAD
+                lane0 = jnp.clip(((cxp - 64) // 128) * 128, 0, wp - w_add)
+                lane0 = pl.multiple_of(lane0, 128)
+                lr = cxp - lane0
+                wide = jnp.zeros((4, rwp + 8, w_add), f32)
+                wide = wide.at[:, :, :b_xp].set(d_pad)
+                wide = pltpu.roll(wide, lr, 2)
+                cur = acc[:, pl.ds(row8, rwp + 8), pl.ds(lane0, w_add)]
+                acc[:, pl.ds(row8, rwp + 8), pl.ds(lane0, w_add)] = cur + wide
+        return 0
+
+    lax.fori_loop(0, n_ps, strip_body, 0)
+
+    out_ref[0, 0] = acc[:, :BLK, :]
+    # spill-carry: rows beyond this block belong to the next one
+    tail = acc[:, BLK:acc_r, :]
+    acc[:, :acc_r - BLK, :] = tail
+    acc[:, acc_r - BLK:acc_r, :] = jnp.zeros((4, BLK, wp), f32)
+
+
+def warp_splat(
+    d_samp_flat: jnp.ndarray,   # [V, L, 4, NS, R8, 128] subtile-flat cotangent
+    rx_flat: jnp.ndarray,       # [V, NS, R8, 128]
+    ry_flat: jnp.ndarray,
+    ry_rowmajor: jnp.ndarray,   # [V, H, W] (for the jittable base computation)
+    scal: jnp.ndarray,          # [V, L, 6]
+    bands: FusedBands,
+    splat: SplatPlan,
+    tex_h: int,
+    tex_w: int,
+    interpret: bool = False,
+    precision=lax.Precision.HIGH,
+):
+    """Exact warp transpose -> d_tex [V, L, 4, tex_h, tex_w] (MXU splat)."""
+    v, l_planes = d_samp_flat.shape[0], d_samp_flat.shape[1]
+    n_strips, r8 = rx_flat.shape[1], rx_flat.shape[2]
+    wp = ((tex_w + 2 * PAD + 127) // 128) * 128
+    if wp < 512:
+        wp = 1 << (wp - 1).bit_length()
+    rw = STRIP + bands.d_y
+    rwp = ((rw + 8 + 7) // 8) * 8
+
+    g_flat = d_samp_flat.reshape(v * l_planes, 4, n_strips, r8, LANES)
+    bases = splat_bases(scal, ry_rowmajor, tex_h, splat.n_ps, splat.n_blocks)
+
+    kernel = functools.partial(
+        _splat_kernel, L=l_planes, tex_h=tex_h, bands=bands, splat=splat,
+        wp=wp, precision=precision)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(v, l_planes, splat.n_blocks),
+            in_specs=[
+                pl.BlockSpec((1, l_planes, 6),
+                             lambda vi, li, bi, sref: (vi, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),   # rx_flat
+                pl.BlockSpec(memory_space=pl.ANY),   # ry_flat
+                pl.BlockSpec(memory_space=pl.ANY),   # g_flat
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, 4, BLK, wp),
+                lambda vi, li, bi, sref: (vi, li, 0, bi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((4, BLK + rwp + 8, wp), jnp.float32),
+                pltpu.VMEM((1, 4, 2 * splat.n_ps, r8, LANES), jnp.float32),
+                pltpu.VMEM((1, 2 * splat.n_ps, r8, LANES), jnp.float32),
+                pltpu.VMEM((1, 2 * splat.n_ps, r8, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (v, l_planes, 4, splat.n_blocks * BLK, wp), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(bases, scal, rx_flat, ry_flat, g_flat)
+    return out[:, :, :, OUT_PAD_TOP:OUT_PAD_TOP + tex_h, PAD:PAD + tex_w]
+
+
 class AdjointBands(NamedTuple):
     """Static band config of the adjoint (texture-space) kernel."""
     d_u: int       # pixel-row tap offsets per texel row
@@ -971,7 +1251,11 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
     (color [V,3,H,W], depth [V,1,H,W], trans [V,1,H,W])``.
     """
     plan = tuple((int(lo), int(hi), FusedBands(*b)) for lo, hi, b in plan)
-    adj_plan = tuple(AdjointBands(*b) for b in adj_plan)
+    # 2-field entries are SplatPlan (MXU splat backward); 3-field entries the
+    # legacy texture-space AdjointBands
+    use_splat = adj_plan and len(tuple(adj_plan[0])) == 2
+    adj_plan = tuple((SplatPlan(*b) if use_splat else AdjointBands(*b))
+                     for b in adj_plan)
 
     @jax.custom_vjp
     def fn(rgba, dhw, ray_dir, eye_pos, z_dir):
@@ -1005,13 +1289,21 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
         gt = None if g_trans is None else flatten_pixels(
             g_trans[:, 0]).reshape(v, -1, LANES)
         d_samp = composite_bwd(warped_f, delta, gc, gd, gt, eps)
-        d_samp = unflatten_pixels(
-            d_samp.reshape(v, l_all, 4, h // STRIP, -1, LANES), h, w_img)
         parts = []
-        for (lo, hi, _), abands in zip(plan, adj_plan):
-            parts.append(warp_adjoint(
-                d_samp[:, lo:hi], rx, ry, scal[:, lo:hi], abands,
-                tex_h, tex_w, interpret=interpret))
+        if use_splat:
+            d_samp6 = d_samp.reshape(v, l_all, 4, h // STRIP, -1, LANES)
+            rxf, ryf = flatten_pixels(rx), flatten_pixels(ry)
+            for (lo, hi, bands), spl in zip(plan, adj_plan):
+                parts.append(warp_splat(
+                    d_samp6[:, lo:hi], rxf, ryf, ry, scal[:, lo:hi],
+                    bands, spl, tex_h, tex_w, interpret=interpret))
+        else:
+            d_samp = unflatten_pixels(
+                d_samp.reshape(v, l_all, 4, h // STRIP, -1, LANES), h, w_img)
+            for (lo, hi, _), abands in zip(plan, adj_plan):
+                parts.append(warp_adjoint(
+                    d_samp[:, lo:hi], rx, ry, scal[:, lo:hi], abands,
+                    tex_h, tex_w, interpret=interpret))
         d_rgba = jnp.concatenate(parts, axis=1)
         return (d_rgba, jnp.zeros_like(dhw), jnp.zeros_like(ray_dir),
                 jnp.zeros_like(eye_pos), jnp.zeros_like(z_dir))

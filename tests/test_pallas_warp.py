@@ -22,6 +22,7 @@ from gmpi_tpu.ops.pallas_warp import (
     make_fused_renderer,
     plan_adjoint,
     plan_fused_render,
+    plan_splat,
     plane_affine,
     ray_fields,
 )
@@ -85,7 +86,7 @@ def test_fused_render_fwd_and_grad_matches_oracle_interpret():
     scal = plane_affine(dhw, eye[0], res, res)[None]
     rx, ry, _ = ray_fields(ray_dir, z_dir)
     plan = plan_fused_render(scal, rx, ry)
-    adj = plan_adjoint(scal, rx, ry, plan, res, res)
+    adj = plan_splat(scal, ry, plan, res)
     fn = make_fused_renderer(
         tuple((int(lo), int(hi), b) for lo, hi, b in plan), tuple(adj),
         res, res, early_out=False, interpret=True)

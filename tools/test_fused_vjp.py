@@ -35,7 +35,7 @@ def main():
     import jax.numpy as jnp
     from test_fused_fwd import setup
     from gmpi_tpu.ops.pallas_warp import (
-        make_fused_renderer, plan_adjoint, plan_fused_render, plane_affine,
+        make_fused_renderer, plan_fused_render, plan_splat, plane_affine,
         ray_fields)
     from gmpi_tpu.core.renderer import render_slab_partial, combine_segments
 
@@ -45,7 +45,7 @@ def main():
     scal = plane_affine(dhw, eye[0], TEX, TEX)[None]
     rx, ry, q = ray_fields(ray_dir, z_dir)
     plan = plan_fused_render(scal, rx, ry)
-    adj = plan_adjoint(scal, rx, ry, plan, TEX, TEX)
+    adj = plan_splat(scal, ry, plan, TEX)
     print("plan:", [(lo, hi, tuple(b)) for lo, hi, b in plan])
     print("adj :", [tuple(a) for a in adj])
 
