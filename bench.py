@@ -1,14 +1,19 @@
 """Benchmark: MPI renderer fwd+bwd at 96 planes, 1024x1024 (the BASELINE
 north-star metric) on the available accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 ``vs_baseline`` is null — the reference repo publishes no numeric renderer
-throughput (see BASELINE.md).
+throughput (see BASELINE.md).  Extra keys gate the number:
 
-Uses the tile-banded MXU warp (``gmpi_tpu/ops/tiled_warp.py``) with bands
-validated for the benchmark pose, plane-chunked compositing with
-rematerialized backward, and an in-graph iteration loop so the remote-device
-round-trip (~30 ms on the tunneled dev chip) does not pollute the measurement.
+* ``allclose``: one-shot full-scale comparison of the measured path's
+  forward AND gradients against the gather oracle (rtol/atol 1e-4,
+  ``gmpi/core/mpi.py:381-395``-style runtime validation);
+* ``bands_ok``: on-device out-of-band check of the static warp bands for
+  the benchmark pose.
+
+Primary path: the fused Pallas warp+composite kernel with the MXU splat
+backward (``gmpi_tpu/ops/pallas_warp.py``).  Falls back to the tile-banded
+XLA formulation, then to a smaller config, rather than emitting nothing.
 """
 
 from __future__ import annotations
@@ -29,14 +34,13 @@ RES = 1024
 TEX = 1024
 INNER_ITERS = 4
 OUTER = 3
+TOL = 1e-4
 
 
-def run(n_planes, res, tex, plane_chunk):
+def _setup(n_planes, res, tex):
     from gmpi_tpu.core import camera as cam
     from gmpi_tpu.core import geometry as geom_mod
     from gmpi_tpu.core import poses as poses_mod
-    from gmpi_tpu.core.renderer import homography_grid, render_mpi_chunked
-    from gmpi_tpu.ops.tiled_warp import required_bands
 
     geom = geom_mod.build_plane_geometry(
         n_planes=n_planes, min_d=0.95, max_d=1.12, distance_sample_method="inverse",
@@ -53,22 +57,54 @@ def run(n_planes, res, tex, plane_chunk):
     intr = cam.intrinsics_from_fov(12.6, res, res)
     ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
     cot = jnp.asarray(rng.standard_normal((1, 3, res, res)).astype(np.float32))
+    return geom, rgba, ray_dir, eye, z_dir, cot
 
-    # measure the warp bands this pose needs (static for the jit below)
+
+def _time_grad(grad_fn, rgba):
+    @jax.jit
+    def bench_step(x):
+        # in-graph iteration amortizes the host<->device round-trip; the
+        # 1e-30 feedback stops XLA hoisting the grad out of the loop
+        def body(i, acc):
+            g = grad_fn(x + acc * 1e-30)
+            return acc + g.ravel()[0]
+        return jax.lax.fori_loop(0, INNER_ITERS, body, jnp.zeros((), jnp.float32))
+
+    float(np.asarray(bench_step(rgba)))  # compile + sync
+    times = []
+    for _ in range(OUTER):
+        t0 = time.perf_counter()
+        float(np.asarray(bench_step(rgba)))
+        times.append(time.perf_counter() - t0)
+    return min(times) / INNER_ITERS
+
+
+def _oracle_loss_fn(geom, ray_dir, eye, z_dir, cot, plane_chunk, tiled_bands):
+    from gmpi_tpu.core.renderer import render_mpi_chunked
+
+    def loss(x):
+        out = render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir,
+                                 plane_chunk=plane_chunk, tiled_bands=tiled_bands)
+        return jnp.sum(out.color * cot), out.color
+
+    return loss
+
+
+def _xla_bands(geom, rgba, ray_dir, eye, z_dir, n_planes, tex, plane_chunk):
+    from gmpi_tpu.core.renderer import homography_grid
+    from gmpi_tpu.ops.tiled_warp import required_bands
+    from gmpi_tpu.ops.tiled_warp_adjoint import check_monotone, required_output_bands
+
     dhw_f = jnp.asarray(geom.dhw)
-    ray_f = jnp.broadcast_to(ray_dir[:, None], (1, n_planes, 3, res, res)).reshape(n_planes, 3, res, res)
+    ray_f = jnp.broadcast_to(ray_dir[:, None], (1, n_planes, 3, *ray_dir.shape[2:])
+                             ).reshape(n_planes, 3, *ray_dir.shape[2:])
     eye_f = jnp.broadcast_to(eye[:, None], (1, n_planes, 3)).reshape(n_planes, 3)
     z_f = jnp.broadcast_to(z_dir[:, None], (1, n_planes, 3)).reshape(n_planes, 3)
     grid, _ = homography_grid(dhw_f, eye_f, ray_f, z_f)
-
-    from gmpi_tpu.ops.tiled_warp_adjoint import check_monotone, required_output_bands
-
     monotone = check_monotone((n_planes, 4, tex, tex), grid)
-    # per-chunk bands: plane extents grow front-to-back, so near slabs use
-    # much smaller bands than the all-plane worst case
     bands = []
     for k in range(n_planes // plane_chunk):
-        g_k = grid[k * plane_chunk : (k + 1) * plane_chunk]
+        g_k = grid[k * plane_chunk:(k + 1) * plane_chunk]
         shape_k = (plane_chunk, 4, tex, tex)
         by, bx = required_bands(shape_k, g_k, tile=(8, 256))
         if monotone:
@@ -76,51 +112,94 @@ def run(n_planes, res, tex, plane_chunk):
             bands.append((int(by), int(bx), int(pbr) + 4, int(pbc) + 8))
         else:
             bands.append((int(by), int(bx)))
+    return bands
+
+
+def run_fused(n_planes, res, tex):
+    from gmpi_tpu.core.renderer import plan_fused
+    from gmpi_tpu.ops.pallas_warp import (
+        fused_bands_ok, make_fused_renderer, plane_affine, ray_fields)
+
+    geom, rgba, ray_dir, eye, z_dir, cot = _setup(n_planes, res, tex)
+    dhw = jnp.asarray(geom.dhw)
+    plan, splat_plan = plan_fused(dhw, ray_dir, eye, z_dir, tex, tex)
+    fn = make_fused_renderer(plan, splat_plan, tex, tex, early_out=True)
+
+    scal = jax.vmap(lambda e: plane_affine(dhw, e, tex, tex))(eye)
+    rx, ry, _ = ray_fields(ray_dir.astype(jnp.float32), z_dir.astype(jnp.float32))
+    bands_ok = bool(jax.jit(lambda: fused_bands_ok(scal, rx, ry, plan))())
 
     def loss(x):
-        out = render_mpi_chunked(
-            x, geom.dhw, ray_dir, eye, z_dir, plane_chunk=plane_chunk,
-            tiled_bands=bands,
-        )
-        return jnp.sum(out.color * cot)
+        color, depth, trans = fn(x, dhw, ray_dir, eye, z_dir)
+        return jnp.sum(color * cot), color
 
-    grad_fn = jax.grad(loss)
+    grad_fn = jax.grad(lambda x: loss(x)[0])
+    best = _time_grad(grad_fn, rgba)
 
-    @jax.jit
-    def bench_step(x):
-        # in-graph iteration: amortizes host<->device round-trip overhead.
-        # the carry feeds the input through a non-constant-foldable term so
-        # XLA cannot hoist the gradient out of the loop (x + acc*0.0 folds).
-        def body(i, acc):
-            g = grad_fn(x + acc * 1e-30)
-            return acc + g.ravel()[0]
-        return jax.lax.fori_loop(0, INNER_ITERS, body, jnp.zeros((), jnp.float32))
+    # one-shot full-scale allclose gate vs the gather oracle (fwd + grads)
+    plane_chunk = min(16, n_planes)
+    xbands = _xla_bands(geom, rgba, ray_dir, eye, z_dir, n_planes, tex, plane_chunk)
+    oracle = _oracle_loss_fn(geom, ray_dir, eye, z_dir, cot, plane_chunk, xbands)
+    c_f = jax.jit(lambda x: loss(x)[1])(rgba)
+    c_o = jax.jit(lambda x: oracle(x)[1])(rgba)
+    g_f = jax.jit(grad_fn)(rgba)
+    g_o = jax.jit(jax.grad(lambda x: oracle(x)[0]))(rgba)
+    scale_c = float(jnp.max(jnp.abs(c_o)))
+    scale_g = float(jnp.max(jnp.abs(g_o)))
+    err_c = float(jnp.max(jnp.abs(c_f - c_o)))
+    err_g = float(jnp.max(jnp.abs(g_f - g_o)))
+    allclose = err_c <= TOL * max(scale_c, 1.0) and err_g <= TOL * max(scale_g, 1.0)
 
-    float(np.asarray(bench_step(rgba)))  # compile + sync
-
-    times = []
-    for _ in range(OUTER):
-        t0 = time.perf_counter()
-        float(np.asarray(bench_step(rgba)))
-        times.append(time.perf_counter() - t0)
-    best = min(times) / INNER_ITERS
-
-    mpix_per_s = (res * res) / 1e6 / best
+    mpix = (res * res) / 1e6 / best
     return {
         "metric": f"renderer fwd+bwd Mpixels/s/chip ({n_planes} planes, {res}^2)",
-        "value": round(mpix_per_s, 3),
+        "value": round(mpix, 3),
         "unit": "Mpixels/s/chip",
         "vs_baseline": None,
+        "allclose": bool(allclose),
+        "bands_ok": bands_ok,
+        "fwd_grad_max_rel_err": round(err_g / max(scale_g, 1e-12), 8),
+        "path": "fused_pallas_mxu",
+    }
+
+
+def run_xla(n_planes, res, tex, plane_chunk):
+    from gmpi_tpu.core.renderer import render_mpi_chunked
+    from gmpi_tpu.ops.tiled_warp import bands_cover
+
+    geom, rgba, ray_dir, eye, z_dir, cot = _setup(n_planes, res, tex)
+    bands = _xla_bands(geom, rgba, ray_dir, eye, z_dir, n_planes, tex, plane_chunk)
+
+    def loss(x):
+        out = render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir,
+                                 plane_chunk=plane_chunk, tiled_bands=bands)
+        return jnp.sum(out.color * cot)
+
+    best = _time_grad(jax.grad(loss), rgba)
+    mpix = (res * res) / 1e6 / best
+    return {
+        "metric": f"renderer fwd+bwd Mpixels/s/chip ({n_planes} planes, {res}^2)",
+        "value": round(mpix, 3),
+        "unit": "Mpixels/s/chip",
+        "vs_baseline": None,
+        "path": "xla_tiled",
     }
 
 
 def main():
     try:
-        result = run(N_PLANES, RES, TEX, plane_chunk=16)
+        result = run_fused(N_PLANES, RES, TEX)
+        if not result["allclose"] or not result["bands_ok"]:
+            # never report a number that fails its own validation
+            xla = run_xla(N_PLANES, RES, TEX, plane_chunk=16)
+            xla["fused_rejected"] = result
+            result = xla
     except Exception:
-        # fall back to a smaller config rather than emitting nothing
-        result = run(32, 512, 512, plane_chunk=8)
-        result["metric"] += " [fallback config]"
+        try:
+            result = run_xla(N_PLANES, RES, TEX, plane_chunk=16)
+        except Exception:
+            result = run_xla(32, 512, 512, plane_chunk=8)
+            result["metric"] += " [fallback config]"
     print(json.dumps(result))
 
 

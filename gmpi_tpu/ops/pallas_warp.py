@@ -225,6 +225,63 @@ def plan_fused_render(scal, rx, ry, margin: int = 2, max_chunks: int = 14,
     return plan
 
 
+def fused_bands_ok(scal, rx, ry, plan) -> jnp.ndarray:
+    """Jittable out-of-band check for a fused-render plan: True iff every
+    (plane, subtile) of every chunk fits its static bands.
+
+    Conditions mirrored from the kernels (clamps that only ever drop
+    zero-pad taps are exact by construction and not checked):
+
+    * x: per-16x64-subtile absolute fx span + 3 <= b_x;
+    * y: per-subtile diagonal fy span + 3 <= d_y, and the strip's window
+      bases stay inside the by_pad DMA band including the 8-align slack.
+
+    Cheap fused reductions — callers can run it once per pose batch
+    (the runtime analogue of ``gmpi/core/mpi.py:381-395``).
+    """
+    rx = jnp.asarray(rx, jnp.float32)
+    ry = jnp.asarray(ry, jnp.float32)
+    v, h, w = rx.shape
+    ns, nt = h // STRIP, w // SUBW
+    i_arr = jnp.arange(STRIP, dtype=jnp.float32)[None, :, None, None]
+    rx5 = rx.reshape(v, ns, STRIP, nt, SUBW)
+    ry5 = ry.reshape(v, ns, STRIP, nt, SUBW)
+
+    def plane_ok(s, bands: FusedBands):
+        rw = STRIP + bands.d_y
+        rwp = ((rw + 8 + 7) // 8) * 8
+        fx = s[0] * rx5 + s[1]
+        fy = s[2] * ry5 + s[3]
+        fx_m = jnp.where(fx < -1.0, jnp.inf, fx)
+        diag = jnp.where(fy < -1.0, jnp.inf, fy) - i_arr
+        # x: absolute span per subtile (invalid-only subtiles span 0)
+        fx_hi = jnp.max(jnp.where(jnp.isinf(fx_m), -jnp.inf, fx_m), axis=(2, 4))
+        fx_lo = jnp.min(fx_m, axis=(2, 4))
+        span_x = jnp.where(jnp.isfinite(fx_hi - fx_lo), fx_hi - fx_lo, 0.0)
+        ok = jnp.all(span_x + 3 <= bands.b_x)
+        # y: diagonal span per subtile
+        d_hi = jnp.max(jnp.where(jnp.isinf(diag), -jnp.inf, diag), axis=(2, 4))
+        d_lo = jnp.min(diag, axis=(2, 4))                 # [V, ns, nt]
+        span_y = jnp.where(jnp.isfinite(d_hi - d_lo), d_hi - d_lo, 0.0)
+        ok &= jnp.all(span_y + 3 <= bands.d_y)
+        # strip DMA coverage: every subtile's window base must sit within the
+        # by_pad band given the strip base's 8-alignment slack
+        ryb_sub = jnp.floor(d_lo) - 1                      # [V, ns, nt] (inf ok)
+        y_exact = jnp.floor(jnp.min(d_lo, axis=2)) - 1     # [V, ns]
+        rel = jnp.where(jnp.isfinite(ryb_sub), ryb_sub, -jnp.inf)
+        rel = jnp.max(rel, axis=2) - y_exact               # [V, ns]
+        strip_ok = jnp.where(jnp.isfinite(y_exact),
+                             rel + 7 + rwp <= bands.by_pad, True)
+        return ok & jnp.all(strip_ok)
+
+    ok_all = jnp.bool_(True)
+    for lo, hi, bands in plan:
+        sub = jnp.asarray(scal)[:, lo:hi].reshape(-1, 6)
+        # sequential map: vmapping would materialize [L, V, H, W] temps
+        ok_all &= jnp.all(lax.map(lambda s: plane_ok(s, FusedBands(*bands)), sub))
+    return ok_all
+
+
 def pad_textures(rgba):
     """[..., 4, Th, Tw] -> zero-padded [..., 4, Th+PADY_TOP+PADY_BOT, Wp].
 

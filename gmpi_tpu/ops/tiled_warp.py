@@ -72,6 +72,27 @@ def required_bands(
     return spans[0], spans[1]
 
 
+def bands_cover(
+    tex_shape: Tuple[int, int, int, int],
+    grid: jnp.ndarray,
+    band_y: int,
+    band_x: int,
+    align_corners: bool = True,
+    tile: Tuple[int, int] = (8, 128),
+) -> jnp.ndarray:
+    """Jittable out-of-band check: True iff every tile's source span fits the
+    static bands (the runtime analogue of the reference's per-render
+    geometric asserts, ``gmpi/core/mpi.py:103-128,381-395``).  Runs as a few
+    fused reductions — cheap enough for every production render."""
+    fx_t, fy_t, _, _ = _tile_coords(tex_shape, grid, align_corners, *tile)
+    ok = jnp.bool_(True)
+    for f, band in ((fy_t, band_y), (fx_t, band_x)):
+        f0 = jnp.floor(f)
+        span = jnp.max(jnp.max(f0, axis=(3, 4)) - jnp.min(f0, axis=(3, 4))) + 3
+        ok = ok & (span <= band)
+    return ok
+
+
 def _warp_row_tiles(texf, fx_row, fy_row, band_y, band_x, pad_y, pad_x, h, w, c, tile_r, tile_c,
                     patch_backend="xla", interpret=False, compute_dtype=None):
     """Warp one row of tiles: fx/fy [N, ntx, tile_r, tile_c] -> [N, ntx, P, C].
@@ -137,8 +158,15 @@ def grid_sample_tiled(
     patch_backend: str = "xla",
     interpret: bool = False,
     compute_dtype=None,
+    check: bool = False,
 ) -> jnp.ndarray:
     """Bilinear sample with zeros padding; returns [N, C, Ho, Wo].
+
+    ``check=True`` adds the out-of-band runtime assertion promised by the
+    band contract: if any tile's source span exceeds (band_y, band_x) —
+    a pathological pose outside the planned distribution — the output is
+    NaN-poisoned so the violation surfaces in any downstream loss/allclose
+    instead of silently dropping taps.
 
     ``patch_backend="pallas"`` streams texture patches through the Pallas DMA
     gather (``ops/pallas_patch.py``) instead of XLA's gather lowering of
@@ -200,6 +228,9 @@ def grid_sample_tiled(
 
     out = out.reshape(n, nty, ntx, tile_r, tile_c, c)
     out = out.transpose(0, 5, 1, 3, 2, 4).reshape(n, c, ho, wo)
+    if check:
+        ok = bands_cover(tex.shape, grid, band_y, band_x, align_corners, tile)
+        out = jnp.where(ok, out, jnp.nan)
     return out
 
 

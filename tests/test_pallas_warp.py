@@ -147,3 +147,51 @@ def test_warp_adjoint_matches_vjp_oracle_interpret():
     bands = _adjoint_bands_from_spans(rs, dv, h)
     d_mine = warp_adjoint(g, rx, ry, scal, bands, tex_h, tex_w, interpret=True)
     np.testing.assert_allclose(np.asarray(d_mine), np.asarray(d_ref), atol=1e-3)
+
+
+def test_fused_bands_ok_accepts_plan_and_rejects_shrunk():
+    from gmpi_tpu.ops.pallas_warp import FusedBands, fused_bands_ok
+
+    n_planes, res = 2, 256
+    geom, ray_dir, eye, z_dir = _setup(n_planes, res)
+    scal = plane_affine(jnp.asarray(geom.dhw), eye[0], res, res)[None]
+    rx, ry, _ = ray_fields(ray_dir, z_dir)
+    plan = plan_fused_render(scal, rx, ry)
+    assert bool(fused_bands_ok(scal, rx, ry, plan))
+    shrunk = [(lo, hi, FusedBands(b.d_x, 1, b.by_pad, 8)) for lo, hi, b in plan]
+    assert not bool(fused_bands_ok(scal, rx, ry, shrunk))
+
+
+def test_tiled_warp_check_nan_poisons_out_of_band():
+    from gmpi_tpu.core.renderer import homography_grid
+    from gmpi_tpu.ops.tiled_warp import bands_cover, grid_sample_tiled, required_bands
+
+    n_planes, res = 1, 128
+    geom, ray_dir, eye, z_dir = _setup(n_planes, res)
+    tex = jnp.asarray(np.random.default_rng(0).random((1, 4, res, res)).astype(np.float32))
+    dhw = jnp.asarray(geom.dhw).reshape(1, 3)
+    grid, _ = homography_grid(dhw, eye, ray_dir[:, :, :res, :res], z_dir)
+    by, bx = required_bands(tex.shape, grid)
+    assert bool(bands_cover(tex.shape, grid, by, bx))
+    assert not bool(bands_cover(tex.shape, grid, 4, 4))
+    ok = grid_sample_tiled(tex, grid, band_y=by, band_x=bx, check=True)
+    assert np.isfinite(np.asarray(ok)).all()
+    bad = grid_sample_tiled(tex, grid, band_y=8, band_x=8, check=True)
+    assert np.isnan(np.asarray(bad)).all()
+
+
+@pytest.mark.slow
+def test_bench_fused_gate_interpret(monkeypatch):
+    """bench.py's fused path + allclose/bands gate, on CPU via interpret."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setattr(bench, "INNER_ITERS", 1)
+    monkeypatch.setattr(bench, "OUTER", 1)
+    with pltpu.force_tpu_interpret_mode():
+        r = bench.run_fused(2, 256, 256)
+    assert r["allclose"] is True, r
+    assert r["bands_ok"] is True, r
+    assert r["value"] > 0
