@@ -1289,6 +1289,77 @@ def render_mpi_fused_fwd(
 
 
 @functools.lru_cache(maxsize=64)
+def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
+                             early_out: bool = False, eps: float = EPS,
+                             interpret: bool = False):
+    """Fused Pallas *slab* renderer with an exact custom VJP.
+
+    ``fn(rgba_slab, dhw_slab, ray_dir, eye_pos, z_dir) ->
+    (color_pre [V,3,H,W], depth_pre [V,1,H,W], trans [V,1,H,W])`` — the
+    segment partials of ``core.renderer.render_slab_partial``, so sharded
+    renderers can run the production kernel per plane shard and combine
+    across chips (``combine_segments``).  Bands must cover every shard's
+    planes (SPMD: statics are shared across shards).
+    """
+    bands = FusedBands(*bands)
+    splat_plan = SplatPlan(*splat_plan)
+
+    def _fwd(rgba, dhw, ray_dir, eye_pos, z_dir):
+        v = rgba.shape[0]
+        h, w_img = ray_dir.shape[2], ray_dir.shape[3]
+        scal = jax.vmap(lambda e: plane_affine(dhw, e, tex_h, tex_w))(eye_pos)
+        rx, ry, q = ray_fields(ray_dir.astype(jnp.float32),
+                               z_dir.astype(jnp.float32))
+        rxf = flatten_pixels(rx)
+        ryf = flatten_pixels(ry)
+        qf = flatten_pixels(q)
+        tex_pad = pad_textures(rgba.astype(jnp.float32))
+        c, d, t, warped = warp_composite_fwd(
+            tex_pad, rxf, ryf, qf, scal, bands, early_out=early_out, eps=eps,
+            interpret=interpret)
+        c = unflatten_pixels(c, h, w_img)
+        d = unflatten_pixels(d, h, w_img)
+        t = unflatten_pixels(t, h, w_img)
+        return (c, d[:, None], t[:, None]), warped
+
+    @jax.custom_vjp
+    def fn(rgba, dhw, ray_dir, eye_pos, z_dir):
+        out, _ = _fwd(rgba, dhw, ray_dir, eye_pos, z_dir)
+        return out
+
+    def fn_fwd(rgba, dhw, ray_dir, eye_pos, z_dir):
+        out, warped = _fwd(rgba, dhw, ray_dir, eye_pos, z_dir)
+        return out, (warped, dhw, ray_dir, eye_pos, z_dir)
+
+    def fn_bwd(res, cot):
+        warped, dhw, ray_dir, eye_pos, z_dir = res
+        g_color, g_depth, g_trans = cot
+        v, l_pl = warped.shape[0], warped.shape[1]
+        h, w_img = ray_dir.shape[2], ray_dir.shape[3]
+        scal = jax.vmap(lambda e: plane_affine(dhw, e, tex_h, tex_w))(eye_pos)
+        rx, ry, q = ray_fields(ray_dir.astype(jnp.float32),
+                               z_dir.astype(jnp.float32))
+        qf = flatten_pixels(q).reshape(v, -1, LANES)
+        warped_f = warped.reshape(v, l_pl, 4, -1, LANES)
+        delta = scal[:, :, 4][:, :, None, None] * qf[:, None]
+        gc = flatten_pixels(g_color).reshape(v, 3, -1, LANES)
+        gd = None if g_depth is None else flatten_pixels(
+            g_depth[:, 0]).reshape(v, -1, LANES)
+        gt = None if g_trans is None else flatten_pixels(
+            g_trans[:, 0]).reshape(v, -1, LANES)
+        d_samp = composite_bwd(warped_f, delta, gc, gd, gt, eps)
+        d_samp6 = d_samp.reshape(v, l_pl, 4, h // STRIP, -1, LANES)
+        rxf, ryf = flatten_pixels(rx), flatten_pixels(ry)
+        d_rgba = warp_splat(d_samp6, rxf, ryf, ry, scal, bands, splat_plan,
+                            tex_h, tex_w, interpret=interpret)
+        return (d_rgba, jnp.zeros_like(dhw), jnp.zeros_like(ray_dir),
+                jnp.zeros_like(eye_pos), jnp.zeros_like(z_dir))
+
+    fn.defvjp(fn_fwd, fn_bwd)
+    return fn
+
+
+@functools.lru_cache(maxsize=64)
 def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
                         early_out: bool = True, eps: float = EPS,
                         interpret: bool = False):

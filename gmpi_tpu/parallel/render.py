@@ -49,11 +49,17 @@ def render_mpi_tile_sharded(
     z_dir: jnp.ndarray,  # [V, 3]
     axis: str = "tile",
     align_corners: bool = True,
+    tiled_bands=None,
+    render_fn=None,
 ) -> RenderOutput:
     """Render with output pixel rows sharded over ``axis``.
 
     ``ray_dir`` must be (or will be) sharded along its H dimension; the
-    returned color/depth are sharded the same way.
+    returned color/depth are sharded the same way.  ``tiled_bands`` selects
+    the tile-banded MXU warp per shard; ``render_fn(rgba, dhw, rays, eye, z)
+    -> RenderOutput`` plugs in any single-chip renderer (e.g. the fused
+    Pallas kernel from ``core.renderer.render_mpi_fused``) — SPMD, so its
+    static config is shared by every shard.
     """
     n_shards = mesh.shape[axis]
     h = ray_dir.shape[2]
@@ -67,7 +73,11 @@ def render_mpi_tile_sharded(
         check_vma=False,
     )
     def _render(rgba_, dhw_, ray_dir_, eye_, zdir_):
-        out = render_mpi(rgba_, dhw_, ray_dir_, eye_, zdir_, align_corners)
+        if render_fn is not None:
+            out = render_fn(rgba_, dhw_, ray_dir_, eye_, zdir_)
+        else:
+            out = render_mpi(rgba_, dhw_, ray_dir_, eye_, zdir_, align_corners,
+                             tiled_bands=tiled_bands)
         return out.color, out.depth
 
     color, depth = _render(rgba, dhw, ray_dir, eye_pos, z_dir)
@@ -83,12 +93,17 @@ def render_mpi_plane_sharded(
     z_dir: jnp.ndarray,
     axis: str = "plane",
     align_corners: bool = True,
+    tiled_bands=None,
+    slab_fn=None,
 ) -> RenderOutput:
     """Render with the plane axis sharded over ``axis``; output replicated.
 
     Chip *i* holds planes ``[i*L/n, (i+1)*L/n)`` (front-to-back order),
     composites them locally, and the cross-chip ordered combine runs on the
-    gathered slab partials.
+    gathered slab partials.  ``slab_fn(rgba_slab, dhw_slab [L,3], rays, eye,
+    z) -> (color_pre, depth_pre, trans)`` plugs in the production slab
+    renderer (``pallas_warp.make_fused_slab_renderer``); ``tiled_bands``
+    selects the banded MXU warp in the default path.
     """
     n_shards = mesh.shape[axis]
     v, l_planes = rgba.shape[0], rgba.shape[1]
@@ -103,8 +118,12 @@ def render_mpi_plane_sharded(
         check_vma=False,
     )
     def _render(rgba_slab, dhw_slab, ray_dir_, eye_, zdir_):
-        slab_dhw = jnp.broadcast_to(dhw_slab[None], (v, dhw_slab.shape[0], 3))
-        part = render_slab_partial(rgba_slab, slab_dhw, ray_dir_, eye_, zdir_, align_corners)
+        if slab_fn is not None:
+            part = slab_fn(rgba_slab, dhw_slab, ray_dir_, eye_, zdir_)
+        else:
+            slab_dhw = jnp.broadcast_to(dhw_slab[None], (v, dhw_slab.shape[0], 3))
+            part = render_slab_partial(rgba_slab, slab_dhw, ray_dir_, eye_, zdir_,
+                                       align_corners, tiled_bands=tiled_bands)
         # Ordered cross-chip combine: gather every chip's partials (plane
         # order == mesh axis order) and fold front-to-back.
         gathered = jax.tree_util.tree_map(
@@ -136,6 +155,8 @@ def render_mpi_plane_tile_sharded(
     plane_axis: str = "plane",
     tile_axis: str = "tile",
     align_corners: bool = True,
+    tiled_bands=None,
+    slab_fn=None,
 ) -> RenderOutput:
     """2-D sharding: planes over ``plane_axis`` x pixel rows over ``tile_axis``.
 
@@ -157,8 +178,12 @@ def render_mpi_plane_tile_sharded(
     )
     def _render(rgba_slab, dhw_slab, ray_dir_, eye_, zdir_):
         rows = ray_dir_.shape[2]
-        slab_dhw = jnp.broadcast_to(dhw_slab[None], (v, dhw_slab.shape[0], 3))
-        part = render_slab_partial(rgba_slab, slab_dhw, ray_dir_, eye_, zdir_, align_corners)
+        if slab_fn is not None:
+            part = slab_fn(rgba_slab, dhw_slab, ray_dir_, eye_, zdir_)
+        else:
+            slab_dhw = jnp.broadcast_to(dhw_slab[None], (v, dhw_slab.shape[0], 3))
+            part = render_slab_partial(rgba_slab, slab_dhw, ray_dir_, eye_, zdir_,
+                                       align_corners, tiled_bands=tiled_bands)
         gathered = jax.tree_util.tree_map(
             lambda t: lax.all_gather(t, plane_axis, axis=0), part
         )

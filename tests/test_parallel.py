@@ -84,3 +84,101 @@ def test_plane_sharded_grads_match(fixture):
     # sharding-override assert in current JAX)
     g_sh = jax.jit(jax.grad(loss_sharded))(rgba)
     np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_tile_sharded_with_bands_matches():
+    """Production banded-MXU warp through the tile-sharded path (VERDICT:
+    the sharded renderer must use the production kernel)."""
+    from gmpi_tpu.core.renderer import homography_grid
+    from gmpi_tpu.ops.tiled_warp import required_bands
+
+    geom = geom_mod.build_plane_geometry(
+        n_planes=8, min_d=0.95, max_d=1.12, distance_sample_method="inverse",
+        enlarge_factor=1.001, confined=True, **FFHQ_CAM,
+    )
+    rng = np.random.default_rng(1)
+    rgba = jnp.asarray(rng.random((1, 8, 4, 128, 128)).astype(np.float32))
+    c2w = poses_mod.c2w_from_yaw_pitch(
+        jnp.asarray([[0.15]]), jnp.asarray([[0.05]]), 1.0, 1.0)
+    intr = cam.intrinsics_from_fov(12.6, 128, 128)
+    ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+
+    ray_f = jnp.broadcast_to(ray_dir[:, None], (1, 8, 3, 128, 128)).reshape(8, 3, 128, 128)
+    eye_f = jnp.broadcast_to(eye[:, None], (1, 8, 3)).reshape(8, 3)
+    z_f = jnp.broadcast_to(z_dir[:, None], (1, 8, 3)).reshape(8, 3)
+    grid, _ = homography_grid(jnp.asarray(geom.dhw), eye_f, ray_f, z_f)
+    bands = required_bands((8, 4, 128, 128), grid)
+
+    ref = render_mpi(rgba, geom.dhw, ray_dir, eye, z_dir, tiled_bands=bands)
+    mesh = make_mesh([8], ("tile",))
+    out = render_mpi_tile_sharded(mesh, rgba, geom.dhw, ray_dir, eye, z_dir,
+                                  tiled_bands=bands)
+    np.testing.assert_array_equal(np.asarray(out.color), np.asarray(ref.color))
+
+    mesh2 = make_mesh([2, 4], ("plane", "tile"))
+    out2 = render_mpi_plane_tile_sharded(mesh2, rgba, geom.dhw, ray_dir, eye,
+                                         z_dir, tiled_bands=bands)
+    np.testing.assert_allclose(np.asarray(out2.color), np.asarray(ref.color),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_plane_sharded_fused_slab_matches_and_grads():
+    """The fused Pallas slab renderer (interpret mode on the CPU mesh)
+    through the plane-sharded path: forward and gradients match the
+    single-device fused render."""
+    from gmpi_tpu.core.renderer import plan_fused, render_mpi_fused
+    from gmpi_tpu.ops.pallas_warp import make_fused_slab_renderer
+
+    L, res = 4, 256
+    geom = geom_mod.build_plane_geometry(
+        n_planes=L, min_d=0.95, max_d=1.12, distance_sample_method="inverse",
+        enlarge_factor=1.001, confined=True, **FFHQ_CAM,
+    )
+    rng = np.random.default_rng(2)
+    rgba = jnp.asarray(rng.random((1, L, 4, res, res)).astype(np.float32))
+    c2w = poses_mod.c2w_from_yaw_pitch(
+        jnp.asarray([[0.1]]), jnp.asarray([[0.05]]), 1.0, 1.0)
+    intr = cam.intrinsics_from_fov(12.6, res, res)
+    ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+    dhw = jnp.asarray(geom.dhw)
+
+    # single-chunk plan: union bands shared by every shard (SPMD statics)
+    plans = plan_fused(dhw, ray_dir, eye, z_dir, res, res)
+    (lo, hi, bands) = plans[0][0]
+    if len(plans[0]) > 1:
+        import numpy as _np
+        from gmpi_tpu.ops.pallas_warp import FusedBands
+        bands = FusedBands(*[max(b[i] for _, _, b in plans[0]) for i in range(4)])
+    splat = plans[1][0]
+    import gmpi_tpu.ops.pallas_warp as pw
+    splat = pw.SplatPlan(max(s.n_ps for s in plans[1]),
+                         max(s.n_blocks for s in plans[1]))
+
+    slab_fn = make_fused_slab_renderer(tuple(bands), tuple(splat), res, res,
+                                       interpret=True)
+    cot = jnp.asarray(rng.standard_normal((1, 3, res, res)).astype(np.float32))
+
+    fn_single = pw.make_fused_renderer(
+        tuple((0, L, tuple(bands)) for _ in [0]), (tuple(splat),), res, res,
+        early_out=False, interpret=True)
+
+    def loss_single(x):
+        c, d, t = fn_single(x, dhw, ray_dir, eye, z_dir)
+        return jnp.sum(c * cot)
+
+    mesh = make_mesh([2], ("plane",), devices=jax.devices()[:2])
+
+    def loss_sharded(x):
+        out = render_mpi_plane_sharded(mesh, x, dhw, ray_dir, eye, z_dir,
+                                       slab_fn=slab_fn)
+        return jnp.sum(out.color * cot)
+
+    ref = float(loss_single(rgba))
+    got = float(loss_sharded(rgba))
+    assert abs(ref - got) / abs(ref) < 1e-5, (ref, got)
+    g_ref = jax.grad(loss_single)(rgba)
+    g_got = jax.grad(loss_sharded)(rgba)
+    err = float(jnp.max(jnp.abs(g_ref - g_got)))
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    assert err / scale < 1e-4, (err, scale)
