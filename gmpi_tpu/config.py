@@ -78,6 +78,9 @@ class TrainHparams:
     # plane-chunked rendering inside the train step (memory relief at 1024²;
     # None = unchunked)
     renderer_plane_chunk: Optional[int] = None
+    # fused Pallas warp+composite renderer in the train step (TPU fast path;
+    # bands planned over the truncated pose range at setup)
+    use_fused_renderer: bool = False
     # edge-aware depth smoothness loss on rendered (rgb, depth)
     # (``configs/gmpi.yml:51-56``; the reference defines the loss but its
     # train path raises NotImplementedError — we support it)

@@ -83,6 +83,36 @@ def estimate_bands(
     return by, bx
 
 
+def fused_plans_for_config(cfg, img_size: Optional[int] = None,
+                           n_planes: Optional[int] = None, margin: int = 3):
+    """Fused-renderer plans (forward chunk bands + splat plans) covering the
+    config's whole truncated pose range: planned over the 9 corner/center
+    poses, so the static bands are safe for every pose the training sampler
+    can draw (validate with ``pallas_warp.fused_bands_ok``)."""
+    import dataclasses
+
+    from gmpi_tpu.core.renderer import plan_fused
+
+    img = img_size or cfg.hparams.img_size
+    tex = cfg.hparams.tex_size
+    planes = dataclasses.replace(cfg.planes, n_planes=n_planes or cfg.planes.n_planes)
+    geom = dataclasses.replace(cfg, planes=planes).plane_geometry()
+    c = cfg.camera
+    n = c.n_truncated_stds
+    yaws, pitches = [], []
+    for sy in (-n, 0.0, n):
+        for sp in (-n, 0.0, n):
+            yaws.append(c.yaw_mean + sy * c.yaw_std)
+            pitches.append(c.pitch_mean + sp * c.pitch_std)
+    yaws = jnp.asarray(yaws, jnp.float32).reshape(-1, 1)
+    pitches = jnp.asarray(pitches, jnp.float32).reshape(-1, 1)
+    c2w, _, _ = poses_mod.sample_sphere_poses(None, len(yaws), c, yaws, pitches)
+    intr = cam.intrinsics_from_fov(cfg.fov_deg, img, img)
+    ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+    return plan_fused(jnp.asarray(geom.dhw), ray_dir, eye, z_dir, tex, tex,
+                      margin=margin)
+
+
 def bands_for_config(cfg, img_size: Optional[int] = None, n_planes: Optional[int] = None):
     """(band_y, band_x) for an ``ExperimentConfig``, or None when the image is
     too small for tiling to pay off."""

@@ -437,18 +437,20 @@ def render_mpi_fused(
     z_dir: jnp.ndarray,
     plans,
     early_out: bool = True,
+    interpret: bool = False,
 ) -> RenderOutput:
     """Render with the fused Pallas warp+composite kernel (TPU fast path).
 
     Same semantics as :func:`render_mpi` (stop-gradient pose, gradients to
     RGBA only, fp32) with an exact custom VJP; ``plans`` comes from
-    :func:`plan_fused`.  ~10x the banded-XLA formulation at 96x1024^2.
+    :func:`plan_fused` / ``bands.fused_plans_for_config``.
     """
     from gmpi_tpu.ops.pallas_warp import make_fused_renderer
 
     plan, adj_plan = plans
     tex_h, tex_w = rgba.shape[-2], rgba.shape[-1]
-    fn = make_fused_renderer(plan, adj_plan, tex_h, tex_w, early_out=early_out)
+    fn = make_fused_renderer(plan, adj_plan, tex_h, tex_w, early_out=early_out,
+                             interpret=interpret)
     color, depth, _ = fn(rgba.astype(jnp.float32), dhw.astype(jnp.float32),
                          ray_dir, eye_pos, z_dir)
     return RenderOutput(color=color, depth=depth)

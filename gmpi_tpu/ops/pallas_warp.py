@@ -282,15 +282,16 @@ def fused_bands_ok(scal, rx, ry, plan) -> jnp.ndarray:
     return ok_all
 
 
-def pad_textures(rgba):
-    """[..., 4, Th, Tw] -> zero-padded [..., 4, Th+PADY_TOP+PADY_BOT, Wp].
+def pad_textures(rgba, pad_bot: int = PADY_BOT):
+    """[..., 4, Th, Tw] -> zero-padded [..., 4, Th+PADY_TOP+pad_bot, Wp].
 
     Rows get PADY_TOP above (the diagonal row base ``min(fy - i)`` reaches up
-    to STRIP rows above the first tap) and PADY_BOT below (so the strip DMA
-    never clamps at the bottom edge); the width is padded to the next
-    multiple of 128 past Tw+2*PAD because DMA slices must be lane-aligned.
-    All pad texels are zeros, which *is* the ``padding_mode="zeros"``
-    sampling semantics — out-of-range taps read them.
+    to STRIP rows above the first tap) and ``pad_bot >= by_pad`` below (so
+    the strip DMA never clamps at the bottom edge); the width is padded to
+    the next multiple of 128 past Tw+2*PAD because DMA slices must be
+    lane-aligned.  All pad texels are zeros, which *is* the
+    ``padding_mode="zeros"`` sampling semantics — out-of-range taps read
+    them.
     """
     tw = rgba.shape[-1]
     wp = ((tw + 2 * PAD + 127) // 128) * 128
@@ -299,7 +300,7 @@ def pad_textures(rgba):
         # not powers of two; the kernel rolls min(512, wp)-wide windows, so
         # keep wp a power of two below 512 (extra pad columns are zeros)
         wp = 1 << (wp - 1).bit_length()
-    pad = [(0, 0)] * (rgba.ndim - 2) + [(PADY_TOP, PADY_BOT), (PAD, wp - tw - PAD)]
+    pad = [(0, 0)] * (rgba.ndim - 2) + [(PADY_TOP, pad_bot), (PAD, wp - tw - PAD)]
     return jnp.pad(rgba, pad)
 
 
@@ -336,8 +337,8 @@ def unflatten_pixels(y, h, w):
 def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
                 tex_ref,
                 color_ref, depth_ref, trans_ref, warped_ref,
-                buf, sems, *, L, tex_h, tex_w, bands: FusedBands,
-                early_out: bool, eps: float,
+                buf, sems, *, L, tex_h, tex_w, pad_bot: int,
+                bands: FusedBands, early_out: bool, eps: float,
                 precision=lax.Precision.HIGH):
     """Fused warp+composite, MXU formulation.
 
@@ -386,7 +387,7 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
         fy = ay * ry_full + by
         fy_m = jnp.where(fy < -1.0, 1e9, fy) - i_full
         y_exact = jnp.floor(jnp.min(fy_m)).astype(jnp.int32) - 1  # texel coords
-        y0 = jnp.clip(y_exact + PADY_TOP, 0, tex_h + PADY_TOP + PADY_BOT - by_pad)
+        y0 = jnp.clip(y_exact + PADY_TOP, 0, tex_h + PADY_TOP + pad_bot - by_pad)
         return pl.multiple_of((y0 // 8) * 8, 8)
 
     def dma(l, slot):
@@ -504,6 +505,7 @@ def warp_composite_fwd(
     eps: float = EPS,
     interpret: bool = False,
     carry=None,             # (color_pre, depth_pre, trans) from nearer slabs
+    pad_bot: int = PADY_BOT,
 ):
     """Slab partials + warped residual for one plane chunk.
 
@@ -517,9 +519,9 @@ def warp_composite_fwd(
     trans [V,NS,R8,128], warped [V,L,4,NS,R8,128]).
     """
     v, l_planes = tex_pad.shape[0], tex_pad.shape[1]
-    tex_h = tex_pad.shape[3] - PADY_TOP - PADY_BOT
+    tex_h = tex_pad.shape[3] - PADY_TOP - pad_bot
     tex_w = tex_h  # square textures; width padding beyond Tw+PAD is zeros
-    assert bands.by_pad <= PADY_BOT, (bands, PADY_BOT)
+    assert bands.by_pad <= pad_bot, (bands, pad_bot)
     n_strips, r8 = rx.shape[1], rx.shape[2]
     assert r8 % 8 == 0 and rx.shape[3] == LANES, rx.shape
     assert bands.b_x > 0, "bands predate the MXU kernel; re-run planning"
@@ -533,8 +535,8 @@ def warp_composite_fwd(
         cin, din, tin = carry
 
     kernel = functools.partial(
-        _fwd_kernel, L=l_planes, tex_h=tex_h, tex_w=tex_w, bands=bands,
-        early_out=early_out, eps=eps)
+        _fwd_kernel, L=l_planes, tex_h=tex_h, tex_w=tex_w, pad_bot=pad_bot,
+        bands=bands, early_out=early_out, eps=eps)
 
     grid = (v, n_strips)
     out_shape = (
@@ -1270,13 +1272,16 @@ def render_mpi_fused_fwd(
     scal = jax.vmap(lambda e: plane_affine(dhw, e, tex_h, tex_w))(eye_pos)
     rx, ry, q = ray_fields(ray_dir.astype(jnp.float32), z_dir.astype(jnp.float32))
     rx, ry, q = flatten_pixels(rx), flatten_pixels(ry), flatten_pixels(q)
-    tex_pad = pad_textures(rgba.astype(jnp.float32))
+    pad_bot = max(PADY_BOT, max(b[2] if not isinstance(b, FusedBands) else b.by_pad
+                                for _, _, b in plan))
+    tex_pad = pad_textures(rgba.astype(jnp.float32), pad_bot)
     carry = None
     warped_parts = []
     for lo, hi, bands in plan:
         c, d, t, w = warp_composite_fwd(
             tex_pad[:, lo:hi], rx, ry, q, scal[:, lo:hi], bands,
-            early_out=early_out, eps=eps, interpret=interpret, carry=carry)
+            early_out=early_out, eps=eps, interpret=interpret, carry=carry,
+            pad_bot=pad_bot)
         carry = (c, d, t)
         warped_parts.append(w)
     color, depth, trans = carry
@@ -1313,10 +1318,11 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
         rxf = flatten_pixels(rx)
         ryf = flatten_pixels(ry)
         qf = flatten_pixels(q)
-        tex_pad = pad_textures(rgba.astype(jnp.float32))
+        pad_bot = max(PADY_BOT, bands.by_pad)
+        tex_pad = pad_textures(rgba.astype(jnp.float32), pad_bot)
         c, d, t, warped = warp_composite_fwd(
             tex_pad, rxf, ryf, qf, scal, bands, early_out=early_out, eps=eps,
-            interpret=interpret)
+            interpret=interpret, pad_bot=pad_bot)
         c = unflatten_pixels(c, h, w_img)
         d = unflatten_pixels(d, h, w_img)
         t = unflatten_pixels(t, h, w_img)

@@ -136,6 +136,11 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
     from gmpi_tpu.core.bands import bands_for_config
 
     tiled_bands = bands_for_config(cfg)
+    fused_plans = None
+    if t.use_fused_renderer:
+        from gmpi_tpu.core.bands import fused_plans_for_config
+
+        fused_plans = fused_plans_for_config(cfg)
 
     def synth(params_g, buffers_g, z, rng, stop_all_grad=False):
         mpi = gen_cfg.apply(
@@ -160,7 +165,11 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
             None, mpi.shape[0], cfg.camera, given_yaws=yaws, given_pitches=pitches
         )
         ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
-        if t.renderer_plane_chunk:
+        if fused_plans is not None:
+            from gmpi_tpu.core.renderer import render_mpi_fused
+
+            out = render_mpi_fused(mpi, geom.dhw, ray_dir, eye, z_dir, fused_plans)
+        elif t.renderer_plane_chunk:
             out = render_mpi_chunked(
                 mpi, geom.dhw, ray_dir, eye, z_dir,
                 plane_chunk=t.renderer_plane_chunk,
