@@ -47,17 +47,28 @@ def xflip_augment_folder(src_dir: str, out_dir: str) -> int:
     return n
 
 
+def default_detector() -> Callable[[np.ndarray], Optional[np.ndarray]]:
+    """The MTCNN adapter as a ``detect_fn`` (``prepare_landmarks_ffhq.py``'s
+    detector; needs 'mtcnn' or 'facenet_pytorch' installed — see
+    ``gmpi_tpu.eval.adapters.MTCNNLandmarkDetector``)."""
+    from gmpi_tpu.eval.adapters import MTCNNLandmarkDetector
+
+    return MTCNNLandmarkDetector().detect
+
+
 def prepare_landmarks(
     image_path: str,
     out_dir: str,
-    detect_fn: Callable[[np.ndarray], Optional[np.ndarray]],
+    detect_fn: Optional[Callable[[np.ndarray], Optional[np.ndarray]]] = None,
 ) -> Tuple[int, int]:
     """Run a 5-point landmark detector over a dataset.
 
     ``detect_fn`` maps an HWC uint8 image to a [5, 2] landmark array or None
-    (detection failure).  Writes ``<stem>.txt`` per image (x y per line, the
-    Deep3DFace input convention) and ``fail_list.txt``.  Returns
-    (n_ok, n_failed)."""
+    (detection failure); defaults to the MTCNN adapter.  Writes
+    ``<stem>.txt`` per image (x y per line, the Deep3DFace input convention)
+    and ``fail_list.txt``.  Returns (n_ok, n_failed)."""
+    if detect_fn is None:
+        detect_fn = default_detector()
     os.makedirs(out_dir, exist_ok=True)
     ok = failed = 0
     fails = []
