@@ -187,6 +187,11 @@ def run_xla(n_planes, res, tex, plane_chunk):
 
 
 def main():
+    import os
+
+    if os.environ.get("BENCH_FUSED", "1") == "0":
+        print(json.dumps(run_xla(N_PLANES, RES, TEX, plane_chunk=16)))
+        return
     try:
         result = run_fused(N_PLANES, RES, TEX)
         if not result["allclose"] or not result["bands_ok"]:

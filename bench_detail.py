@@ -27,7 +27,15 @@ def main():
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--plane_chunk", type=int, default=16)
     ap.add_argument("--trace_dir", default=None, help="write a jax.profiler trace here")
+    ap.add_argument("--fused", action="store_true",
+                    help="benchmark the fused Pallas MXU path (component split)")
+    ap.add_argument("--precision", default="high", choices=["default", "high", "highest"],
+                    help="MXU precision of the fused path (default = bf16x1 fast mode)")
+    ap.add_argument("--no_early_out", action="store_true")
     args = ap.parse_args()
+
+    if args.fused:
+        return fused_detail(args)
 
     from gmpi_tpu.core import camera as cam
     from gmpi_tpu.core import geometry as geom_mod
@@ -96,6 +104,93 @@ def main():
     else:
         t_fwd = timed(fwd, rgba, name="render fwd")
         t_fb = timed(grad, rgba, name="render fwd+bwd")
+
+    for nm, t, bwd in (("fwd", t_fwd, False), ("fwd+bwd", t_fb, True)):
+        cost = render_cost(1, L, R, R, R, R, backward=bwd)
+        rep = attained(t, cost, TPU_V5E)
+        print(
+            f"roofline[{nm}]: SOL {rep['speed_of_light_s']*1e3:.1f} ms "
+            f"({rep['bound']}-bound) -> {rep['sol_fraction']*100:.1f}% of SOL, "
+            f"{rep['attained_gbps']:.0f} GB/s, {rep['attained_tflops']:.2f} TFLOP/s"
+        )
+    print(f"throughput fwd+bwd: {R*R/1e6/t_fb:.3f} Mpix/s/chip")
+
+
+def fused_detail(args):
+    """Component breakdown of the fused Pallas path: forward kernel chain,
+    composite backward (XLA), splat kernels, end-to-end grad."""
+    from jax import lax as _lax
+
+    from gmpi_tpu.core import camera as cam
+    from gmpi_tpu.core import geometry as geom_mod
+    from gmpi_tpu.core import poses as poses_mod
+    from gmpi_tpu.core.renderer import plan_fused
+    from gmpi_tpu.ops.pallas_warp import (
+        fused_bands_ok, make_fused_renderer, plane_affine, ray_fields,
+        render_mpi_fused_fwd)
+    from gmpi_tpu.utils.roofline import TPU_V5E, attained, render_cost
+
+    L, R = args.planes, args.res
+    prec = {"default": _lax.Precision.DEFAULT, "high": _lax.Precision.HIGH,
+            "highest": _lax.Precision.HIGHEST}[args.precision]
+    geom = geom_mod.build_plane_geometry(
+        n_planes=L, min_d=0.95, max_d=1.12, distance_sample_method="inverse",
+        fov_deg=12.6, sphere_center_z=1.0, sphere_r=1.0,
+        yaw_mean=0.0, yaw_std=0.289, pitch_mean=0.0, pitch_std=0.127,
+        n_truncated_stds=2.0, enlarge_factor=1.001, confined=True,
+    )
+    rng = np.random.default_rng(0)
+    rgba = jnp.asarray(rng.random((1, L, 4, R, R)).astype(np.float32))
+    c2w, _, _ = poses_mod.sample_sphere_poses(
+        None, 1, poses_mod.SphereCameraConfig(1.0, 1.0, 0.0, 0.289, 0.0, 0.127),
+        given_yaws=jnp.asarray([[0.1]]), given_pitches=jnp.asarray([[0.05]]),
+    )
+    intr = cam.intrinsics_from_fov(12.6, R, R)
+    ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+    cot = jnp.asarray(rng.standard_normal((1, 3, R, R)).astype(np.float32))
+    dhw = jnp.asarray(geom.dhw)
+
+    import time as _t
+    t0 = _t.time()
+    plan, splat_plan = plan_fused(dhw, ray_dir, eye, z_dir, R, R)
+    print(f"planning: {_t.time()-t0:.1f}s; chunks:")
+    for (lo, hi, b), s in zip(plan, splat_plan):
+        print(f"  [{lo:3d},{hi:3d}) fwd={tuple(b)} splat={tuple(s)}")
+    scal = jax.vmap(lambda e: plane_affine(dhw, e, R, R))(eye)
+    rx, ry, _ = ray_fields(ray_dir.astype(jnp.float32), z_dir.astype(jnp.float32))
+    print("bands_ok:", bool(jax.jit(lambda: fused_bands_ok(scal, rx, ry, plan))()))
+
+    early = not args.no_early_out
+    fn = make_fused_renderer(plan, splat_plan, R, R, early_out=early,
+                             precision=prec)
+
+    def timed(f, *a, name="", iters=3):
+        r = f(*a)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), r)
+        ts = []
+        for _ in range(iters):
+            t0 = _t.perf_counter()
+            r = f(*a)
+            jax.tree_util.tree_map(lambda x: x.block_until_ready(), r)
+            ts.append(_t.perf_counter() - t0)
+        print(f"{name:<34} {min(ts) * 1000:8.1f} ms")
+        return min(ts)
+
+    fwd_nores = jax.jit(lambda x: fn(x, dhw, ray_dir, eye, z_dir)[0])
+    fwd_res = jax.jit(lambda x: render_mpi_fused_fwd(
+        x, dhw, ray_dir, eye, z_dir, plan, early_out=early,
+        precision=prec)[3])
+    grad = jax.jit(jax.grad(
+        lambda x: jnp.sum(fn(x, dhw, ray_dir, eye, z_dir)[0] * cot)))
+
+    ctx = jax.profiler.trace(args.trace_dir) if args.trace_dir else None
+    if ctx:
+        ctx.__enter__()
+    t_fwd = timed(fwd_nores, rgba, name="fused fwd (no residual read)")
+    timed(fwd_res, rgba, name="fused fwd (+warped residual)")
+    t_fb = timed(grad, rgba, name="fused fwd+bwd")
+    if ctx:
+        ctx.__exit__(None, None, None)
 
     for nm, t, bwd in (("fwd", t_fwd, False), ("fwd+bwd", t_fb, True)):
         cost = render_cost(1, L, R, R, R, R, backward=bwd)

@@ -180,7 +180,7 @@ def estimate_fused_bands(scal, rx, ry, margin: int = 2) -> FusedBands:
 
 
 def plan_fused_render(scal, rx, ry, margin: int = 2, max_chunks: int = 14,
-                      overhead: float = 400.0):
+                      overhead: float = 400.0, max_chunk_planes: int = 24):
     """Optimal plane chunking for the fused renderer (host helper).
 
     The kernel cost per (plane, tile) is ``d_x * (4*d_y + 7)`` vector ops
@@ -196,6 +196,10 @@ def plan_fused_render(scal, rx, ry, margin: int = 2, max_chunks: int = 14,
     def chunk_cost(lo, hi, ov):
         # MXU-path per-plane cost model: hat builds scale with the subtile
         # band b_x and the window rows rw; the matmul rides along (overlapped)
+        if hi - lo > max_chunk_planes:
+            # bound the warped-residual output block (2x in VMEM): ~260 KB
+            # per plane per strip at 1024^2
+            return np.inf
         b_x = int(np.ceil(sxa[lo:hi].max())) + 3 + margin
         rw = STRIP + int(np.ceil(sy[lo:hi].max())) + 3 + margin
         return (hi - lo) * (3 * b_x + 7 * rw) + ov
@@ -506,6 +510,7 @@ def warp_composite_fwd(
     interpret: bool = False,
     carry=None,             # (color_pre, depth_pre, trans) from nearer slabs
     pad_bot: int = PADY_BOT,
+    precision=lax.Precision.HIGH,
 ):
     """Slab partials + warped residual for one plane chunk.
 
@@ -536,7 +541,7 @@ def warp_composite_fwd(
 
     kernel = functools.partial(
         _fwd_kernel, L=l_planes, tex_h=tex_h, tex_w=tex_w, pad_bot=pad_bot,
-        bands=bands, early_out=early_out, eps=eps)
+        bands=bands, early_out=early_out, eps=eps, precision=precision)
 
     grid = (v, n_strips)
     out_shape = (
@@ -1260,6 +1265,7 @@ def render_mpi_fused_fwd(
     early_out: bool = True,
     eps: float = EPS,
     interpret: bool = False,
+    precision=lax.Precision.HIGH,
 ):
     """Full fused MPI render forward: chained slab kernels front-to-back.
 
@@ -1281,7 +1287,7 @@ def render_mpi_fused_fwd(
         c, d, t, w = warp_composite_fwd(
             tex_pad[:, lo:hi], rx, ry, q, scal[:, lo:hi], bands,
             early_out=early_out, eps=eps, interpret=interpret, carry=carry,
-            pad_bot=pad_bot)
+            pad_bot=pad_bot, precision=precision)
         carry = (c, d, t)
         warped_parts.append(w)
     color, depth, trans = carry
@@ -1368,7 +1374,8 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
 @functools.lru_cache(maxsize=64)
 def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
                         early_out: bool = True, eps: float = EPS,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        precision=lax.Precision.HIGH):
     """Build the fused MPI renderer with its exact custom VJP.
 
     ``plan`` is a tuple of ``(lo, hi, FusedBands)`` (see
@@ -1395,13 +1402,15 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
     def fn(rgba, dhw, ray_dir, eye_pos, z_dir):
         color, depth, trans, _ = render_mpi_fused_fwd(
             rgba, dhw, ray_dir, eye_pos, z_dir, plan,
-            early_out=early_out, eps=eps, interpret=interpret)
+            early_out=early_out, eps=eps, interpret=interpret,
+            precision=precision)
         return color, depth, trans
 
     def fn_fwd(rgba, dhw, ray_dir, eye_pos, z_dir):
         color, depth, trans, warped = render_mpi_fused_fwd(
             rgba, dhw, ray_dir, eye_pos, z_dir, plan,
-            early_out=early_out, eps=eps, interpret=interpret)
+            early_out=early_out, eps=eps, interpret=interpret,
+            precision=precision)
         return (color, depth, trans), (warped, dhw, ray_dir, eye_pos, z_dir)
 
     def fn_bwd(res, cot):
@@ -1430,7 +1439,8 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
             for (lo, hi, bands), spl in zip(plan, adj_plan):
                 parts.append(warp_splat(
                     d_samp6[:, lo:hi], rxf, ryf, ry, scal[:, lo:hi],
-                    bands, spl, tex_h, tex_w, interpret=interpret))
+                    bands, spl, tex_h, tex_w, interpret=interpret,
+                    precision=precision))
         else:
             d_samp = unflatten_pixels(
                 d_samp.reshape(v, l_all, 4, h // STRIP, -1, LANES), h, w_img)

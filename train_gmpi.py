@@ -34,6 +34,9 @@ def main():
                         "every --fid_interval steps (gmpi/train.py:1009-1071)")
     p.add_argument("--fid_interval", type=int, default=5000)
     p.add_argument("--fid_n_imgs", type=int, default=2048)
+    p.add_argument("--fused_renderer", action="store_true",
+                   help="render through the fused Pallas MXU kernel "
+                        "(bands planned over the pose range at setup)")
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (multi-host pod slice)")
@@ -52,6 +55,11 @@ def main():
     from gmpi_tpu.train.loop import train
 
     cfg = get_config(args.dataset)
+    if args.fused_renderer:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, use_fused_renderer=True))
     dataset_name = "FFHQ" if args.dataset.startswith("FFHQ") else args.dataset
     dataset = get_dataset(
         dataset_name,
