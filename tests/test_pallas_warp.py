@@ -195,3 +195,41 @@ def test_bench_fused_gate_interpret(monkeypatch):
     assert r["allclose"] is True, r
     assert r["bands_ok"] is True, r
     assert r["value"] > 0
+
+
+@pytest.mark.slow
+def test_fused_render_multiview_physics_interpret():
+    """Two-view fused render (V>1 grid dim): oracle parity + parallax and
+    occlusion physics on a toy colored-squares MPI."""
+    from gmpi_tpu.core.renderer import plan_fused, render_mpi
+    from gmpi_tpu.ops.pallas_warp import make_fused_renderer
+
+    L, res = 3, 256
+    geom, _, _, _ = _setup(L, res)
+    rgba = np.zeros((2, L, 4, res, res), np.float32)
+    rgba[:, L - 1, 2] = 1.0
+    rgba[:, L - 1, 3] = 1.0                       # far plane: solid blue
+    rgba[:, 0, 0, 96:160, 64:128] = 1.0           # near plane: red square
+    rgba[:, 0, 3, 96:160, 64:128] = 1.0
+    rgba = jnp.asarray(rgba)
+    yaws = jnp.asarray([[-0.3], [0.3]])
+    pitches = jnp.zeros((2, 1))
+    c2w, _, _ = poses_mod.sample_sphere_poses(
+        None, 2, poses_mod.SphereCameraConfig(1.0, 1.0, 0.0, 0.289, 0.0, 0.127),
+        given_yaws=yaws, given_pitches=pitches)
+    intr = cam.intrinsics_from_fov(12.6, res, res)
+    ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+    dhw = jnp.asarray(geom.dhw)
+    plan, splat = plan_fused(dhw, ray_dir, eye, z_dir, res, res)
+    fn = make_fused_renderer(plan, splat, res, res, early_out=True, interpret=True)
+    color, depth, _ = fn(rgba, dhw, ray_dir, eye, z_dir)
+    ref = render_mpi(rgba, geom.dhw, ray_dir, eye, z_dir)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color), atol=5e-4)
+    cols = []
+    for v in range(2):
+        c = np.asarray(color[v])
+        red = (c[0] > 0.5) & (c[2] < 0.5)
+        assert red.sum() > 500
+        cols.append(np.nonzero(red)[1].mean())
+        assert (c[2] > 0.5).mean() > 0.5
+    assert abs(cols[0] - cols[1]) > 2.0  # near content parallaxes across views
