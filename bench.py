@@ -127,7 +127,11 @@ def run_fused(n_planes, res, tex):
 
     scal = jax.vmap(lambda e: plane_affine(dhw, e, tex, tex))(eye)
     rx, ry, _ = ray_fields(ray_dir.astype(jnp.float32), z_dir.astype(jnp.float32))
+    from gmpi_tpu.ops.pallas_warp import splat_plans_ok
+
     bands_ok = bool(jax.jit(lambda: fused_bands_ok(scal, rx, ry, plan))())
+    bands_ok &= bool(jax.jit(
+        lambda: splat_plans_ok(scal, ry, plan, splat_plan))())
 
     def loss(x):
         color, depth, trans = fn(x, dhw, ray_dir, eye, z_dir)
@@ -164,11 +168,24 @@ def run_fused(n_planes, res, tex):
 
 
 def run_xla(n_planes, res, tex, plane_chunk):
-    from gmpi_tpu.core.renderer import render_mpi_chunked
+    from gmpi_tpu.core.renderer import homography_grid, render_mpi_chunked
     from gmpi_tpu.ops.tiled_warp import bands_cover
 
     geom, rgba, ray_dir, eye, z_dir, cot = _setup(n_planes, res, tex)
     bands = _xla_bands(geom, rgba, ray_dir, eye, z_dir, n_planes, tex, plane_chunk)
+
+    # out-of-band gate for the measured pose (per plane chunk)
+    dhw_f = jnp.asarray(geom.dhw)
+    ray_f = jnp.broadcast_to(ray_dir[:, None], (1, n_planes, 3, res, res)
+                             ).reshape(n_planes, 3, res, res)
+    eye_f = jnp.broadcast_to(eye[:, None], (1, n_planes, 3)).reshape(n_planes, 3)
+    z_f = jnp.broadcast_to(z_dir[:, None], (1, n_planes, 3)).reshape(n_planes, 3)
+    grid, _ = homography_grid(dhw_f, eye_f, ray_f, z_f)
+    bands_ok = True
+    for k, bk in enumerate(bands):
+        g_k = grid[k * plane_chunk:(k + 1) * plane_chunk]
+        bands_ok &= bool(bands_cover((plane_chunk, 4, tex, tex), g_k,
+                                     bk[0], bk[1], tile=(8, 256)))
 
     def loss(x):
         out = render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir,
@@ -182,6 +199,7 @@ def run_xla(n_planes, res, tex, plane_chunk):
         "value": round(mpix, 3),
         "unit": "Mpixels/s/chip",
         "vs_baseline": None,
+        "bands_ok": bands_ok,
         "path": "xla_tiled",
     }
 

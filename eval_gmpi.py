@@ -113,12 +113,12 @@ def main():
         from gmpi_tpu.eval.adapters import load_adapter
         from gmpi_tpu.eval.harness import compute_geometry_dir, prepare_fake_images
 
+        assert args.landmark_detector and args.pose_estimator, \
+            "geometry needs --landmark_detector and --pose_estimator adapters"
         if args.img_size is None:
             args.img_size = 224  # reference renders geometry at 224^2 (eval.sh:61)
         cfg, gen = build_generator(args)
         prepare_fake_images(gen, args.out, args.n_imgs, task="geometry")
-        assert args.landmark_detector and args.pose_estimator, \
-            "geometry needs --landmark_detector and --pose_estimator adapters"
         metrics = compute_geometry_dir(
             args.out, args.n_imgs,
             load_adapter(args.landmark_detector), load_adapter(args.pose_estimator))

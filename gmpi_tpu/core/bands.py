@@ -26,16 +26,9 @@ def _round_up(x: int, m: int = 8) -> int:
     return ((x + m - 1) // m) * m
 
 
-def estimate_bands(
-    geom: PlaneGeometry,
-    camera_cfg: poses_mod.SphereCameraConfig,
-    fov_deg: float,
-    img_h: int,
-    img_w: int,
-    margin: float = 1.15,
-    tile: Optional[Tuple[int, int]] = None,
-) -> Tuple[int, int]:
-    """Safe (band_y, band_x) for all poses within ±n_truncated_stds."""
+def _corner_rays(camera_cfg, fov_deg: float, img_h: int, img_w: int):
+    """Rays from the 9 corner/center poses of the truncated (yaw, pitch)
+    range — the worst-case pose set all static band planning uses."""
     c = camera_cfg
     n = c.n_truncated_stds
     yaws, pitches = [], []
@@ -47,9 +40,22 @@ def estimate_bands(
     pitches = jnp.asarray(pitches, jnp.float32).reshape(-1, 1)
     c2w, _, _ = poses_mod.sample_sphere_poses(None, len(yaws), c, yaws, pitches)
     intr = cam.intrinsics_from_fov(fov_deg, img_h, img_w)
-    ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+    return cam.generate_rays(intr, c2w)
 
-    v = c2w.shape[0]
+
+def estimate_bands(
+    geom: PlaneGeometry,
+    camera_cfg: poses_mod.SphereCameraConfig,
+    fov_deg: float,
+    img_h: int,
+    img_w: int,
+    margin: float = 1.15,
+    tile: Optional[Tuple[int, int]] = None,
+) -> Tuple[int, int]:
+    """Safe (band_y, band_x) for all poses within ±n_truncated_stds."""
+    ray_dir, eye, z_dir = _corner_rays(camera_cfg, fov_deg, img_h, img_w)
+
+    v = ray_dir.shape[0]
     l = geom.n_planes
     dhw = jnp.broadcast_to(geom.dhw[None], (v, l, 3)).reshape(v * l, 3)
     ray = jnp.broadcast_to(ray_dir[:, None], (v, l, 3, img_h, img_w)).reshape(v * l, 3, img_h, img_w)
@@ -97,20 +103,9 @@ def fused_plans_for_config(cfg, img_size: Optional[int] = None,
     tex = cfg.hparams.tex_size
     planes = dataclasses.replace(cfg.planes, n_planes=n_planes or cfg.planes.n_planes)
     geom = dataclasses.replace(cfg, planes=planes).plane_geometry()
-    c = cfg.camera
-    n = c.n_truncated_stds
-    yaws, pitches = [], []
-    for sy in (-n, 0.0, n):
-        for sp in (-n, 0.0, n):
-            yaws.append(c.yaw_mean + sy * c.yaw_std)
-            pitches.append(c.pitch_mean + sp * c.pitch_std)
-    yaws = jnp.asarray(yaws, jnp.float32).reshape(-1, 1)
-    pitches = jnp.asarray(pitches, jnp.float32).reshape(-1, 1)
-    c2w, _, _ = poses_mod.sample_sphere_poses(None, len(yaws), c, yaws, pitches)
-    intr = cam.intrinsics_from_fov(cfg.fov_deg, img, img)
-    ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+    ray_dir, eye, z_dir = _corner_rays(cfg.camera, cfg.fov_deg, img, img)
     return plan_fused(jnp.asarray(geom.dhw), ray_dir, eye, z_dir, tex, tex,
-                      margin=margin)
+                      margin=margin, align_corners=cfg.planes.align_corners)
 
 
 def bands_for_config(cfg, img_size: Optional[int] = None, n_planes: Optional[int] = None):

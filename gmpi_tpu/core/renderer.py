@@ -410,6 +410,7 @@ def plan_fused(
     tex_h: int,
     tex_w: int,
     margin: int = 2,
+    align_corners: bool = True,
 ):
     """Host-side planning for the fused Pallas renderer: per-chunk forward
     bands (:func:`gmpi_tpu.ops.pallas_warp.plan_fused_render`) and matching
@@ -420,6 +421,9 @@ def plan_fused(
     """
     from gmpi_tpu.ops import pallas_warp as pw
 
+    assert align_corners, (
+        "the fused Pallas renderer implements align_corners=True coordinates "
+        "only (plane_affine); use the tiled/gather paths for False")
     scal = jax.vmap(lambda e: pw.plane_affine(dhw, e, tex_h, tex_w))(eye_pos)
     rx, ry, _ = pw.ray_fields(jnp.asarray(ray_dir, jnp.float32),
                               jnp.asarray(z_dir, jnp.float32))

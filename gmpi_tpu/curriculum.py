@@ -53,14 +53,22 @@ def apply_to_config(cfg, entry: Dict[str, Any]):
     """Apply a curriculum entry's hyperparameters onto an ``ExperimentConfig``
     (``train_helpers.modify_curriculums``'s role, ``train_helpers.py:33-108``).
 
-    Recognized keys mirror the reference res_dict: ``batch_size``,
-    ``img_size``, ``tex_size``, ``batch_split``, ``gen_lr``, ``disc_lr``.
-    Resolution/batch changes are recompile events on TPU (static jit
-    shapes); the training driver rebuilds its jitted step and dataloader at
-    each ``stage_boundaries()`` crossing.
+    Recognized keys: ``batch_size``, ``batch_split``, ``gen_lr``,
+    ``disc_lr`` — hyperparameters that change the jitted step but not the
+    parameter trees.  ``img_size``/``tex_size`` entries raise: a resolution
+    change alters the generator/discriminator parameter shapes, which needs
+    a model+optimizer state migration the driver does not implement (GMPI
+    itself trains single-stage, ``curriculums.py:88-208``).  Batch changes
+    are recompile events on TPU (static jit shapes); the driver rebuilds
+    its jitted step, shardings, and dataloader at each
+    ``stage_boundaries()`` crossing.
     """
-    hp_keys = {"batch_size", "img_size", "tex_size", "batch_split",
-               "gen_lr", "disc_lr"}
+    if any(k in entry for k in ("img_size", "tex_size")):
+        raise NotImplementedError(
+            "curriculum resolution changes require a parameter-tree "
+            "migration (new synthesis blocks / D layers); only "
+            "batch_size/batch_split/gen_lr/disc_lr stages are supported")
+    hp_keys = {"batch_size", "batch_split", "gen_lr", "disc_lr"}
     updates = {k: v for k, v in entry.items() if k in hp_keys}
     if not updates:
         return cfg

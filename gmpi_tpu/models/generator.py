@@ -448,8 +448,10 @@ class SynthesisBlockCfg:
                 # instance-normalized trunk features take the per-plane
                 # embedding map's spatial statistics.  The reference supports
                 # only mlp/conv embed functions here (its modulated path
-                # raises ValueError), and divides by the feature std without
-                # the FLOATING_EPS used by normalize_add_* (``:846``).
+                # raises ValueError).  Division is by calc_mean_std's std
+                # (eps inside the variance — instance_mean_std matches);
+                # unlike normalize_add_*, there is no extra outer
+                # FLOATING_EPS (``:846`` vs ``:879``).
                 head = self._embed_head()
                 assert isinstance(head, (FullyConnected, list)), (
                     "cond_z/cond_xyz support mlp/conv embed functions only "

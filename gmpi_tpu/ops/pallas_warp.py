@@ -672,8 +672,34 @@ def plan_splat(scal, ry, plan, tex_h: int) -> list:
                     m = valid[vi, l] & (blk[vi, l] == b)
                     s = _np.nonzero(m.any(axis=1))[0]
                     n_ps = max(n_ps, int(s.max() - s.min() + 1))
-        plans.append(SplatPlan(n_ps=min(n_ps, ns), n_blocks=nb))
+        # +1 margin: poses inside the truncated range can phase a strip
+        # across a block boundary differently from the planning poses
+        plans.append(SplatPlan(n_ps=min(n_ps + 1, ns), n_blocks=nb))
     return plans
+
+
+def splat_plans_ok(scal, ry, plan, splat_plans) -> jnp.ndarray:
+    """Jittable validity check of splat plans for a concrete pose batch:
+    True iff every (view, plane, texel block)'s contributing pixel strips
+    fit the static DMA band ``n_ps`` (the backward analogue of
+    :func:`fused_bands_ok` — an undersized band silently drops cotangent)."""
+    ry = jnp.asarray(ry, jnp.float32)
+    ns = ry.shape[1] // STRIP
+    rb = _subtile_row_bases(jnp.asarray(scal), ry)           # [V, L, NS, NT]
+    oyb = rb + OUT_PAD_TOP
+    strip_ids = jnp.arange(ns, dtype=jnp.int32)[None, None, :, None]
+    ok = jnp.bool_(True)
+    for (lo, hi, _b), spl in zip(plan, splat_plans):
+        spl = SplatPlan(*spl)
+        valid = (oyb[:, lo:hi] >= 0) & (oyb[:, lo:hi] < spl.n_blocks * BLK)
+        blk = jnp.clip(oyb[:, lo:hi] // BLK, 0, spl.n_blocks - 1)
+        for b in range(spl.n_blocks):
+            m = valid & (blk == b)
+            s_min = jnp.min(jnp.where(m, strip_ids, ns + 1000), axis=(2, 3))
+            s_max = jnp.max(jnp.where(m, strip_ids, -1), axis=(2, 3))
+            span = jnp.where(s_max >= 0, s_max - s_min + 1, 0)
+            ok &= jnp.all(span <= spl.n_ps)
+    return ok
 
 
 def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,

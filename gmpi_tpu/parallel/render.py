@@ -59,11 +59,12 @@ def ordered_allcombine(part, axis: str):
     while k < n:
         perm = [(i, i ^ k) for i in range(n)]
         recv = tuple(lax.ppermute(t, axis, perm) for t in part)
-        mine_front = combine_segments(part, recv)
-        mine_back = combine_segments(recv, part)
         front_first = (idx & k) == 0
-        part = tuple(jnp.where(front_first, a, b)
-                     for a, b in zip(mine_front, mine_back))
+        # select operands, then fold once (folding both orders and selecting
+        # the result would double the combine FLOPs)
+        front = tuple(jnp.where(front_first, a, b) for a, b in zip(part, recv))
+        back = tuple(jnp.where(front_first, b, a) for a, b in zip(part, recv))
+        part = combine_segments(front, back)
         k *= 2
     return part
 

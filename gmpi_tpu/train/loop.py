@@ -75,11 +75,12 @@ def save_snapshot_grid(out_dir: str, cfg: ExperimentConfig, state: TrainState, s
     for tag, params in (("ema", state.ema), ("raw", state.params_g)):
         gen = FakeImageGenerator(cfg, params, state.buffers_g,
                                  n_planes=cfg.planes.n_planes, img_size=cfg.hparams.img_size)
+        mpis = [gen.sample_mpi(seed=i) for i in range(n_imgs)]
         rows = []
         for view in ("fixed", "tilted", "random"):
             cols = []
             for i in range(n_imgs):
-                mpi = gen.sample_mpi(seed=i)
+                mpi = mpis[i]
                 if view == "fixed":
                     yaws = np.array([[cam.yaw_mean]], np.float32)
                     pitches = np.array([[cam.pitch_mean]], np.float32)
@@ -95,7 +96,7 @@ def save_snapshot_grid(out_dir: str, cfg: ExperimentConfig, state: TrainState, s
         Image.fromarray(grid).save(os.path.join(out_dir, f"snap_{step:08d}_{tag}.png"))
         if tag == "ema":
             # MPI sheets: planes tiled horizontally (rgb in [0,1], alpha)
-            mpi0 = np.asarray(gen.sample_mpi(seed=0))[0]  # [L, 4, H, W]
+            mpi0 = np.asarray(mpis[0])[0]  # [L, 4, H, W]
             rgb = (np.concatenate(list(mpi0[:, :3].transpose(0, 2, 3, 1)), axis=1)
                    * 255).clip(0, 255).astype(np.uint8)
             alpha = (np.concatenate(list(mpi0[:, 3]), axis=1) * 255).clip(0, 255).astype(np.uint8)
@@ -212,7 +213,8 @@ def train(
 
     rng = jax.random.key(seed + 1)
     t_start = time.time()
-    for batch in batches:
+    batch_iter = iter(batches)
+    while True:
         step = int(np.asarray(state.step))
         if step >= total_iters:
             break
@@ -225,8 +227,13 @@ def train(
             state = jax.device_put(state, repl)
             print(f"[curriculum] stage change at step {step}: {entry}", flush=True)
             if rebuild_batches is not None:
-                batches = iter(rebuild_batches(entry))
-                batch = next(batches)
+                # replace the iterator itself — a `for` loop would keep
+                # draining the captured stage-1 iterator
+                batch_iter = iter(rebuild_batches(entry))
+        try:
+            batch = next(batch_iter)
+        except StopIteration:
+            break
         imgs, flat_pose = batch[0], batch[1]
         imgs = jax.device_put(jnp.asarray(imgs, jnp.float32), batch_sh)
         flat_pose = jax.device_put(jnp.asarray(flat_pose, jnp.float32), batch_sh)

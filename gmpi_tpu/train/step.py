@@ -140,6 +140,9 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
     if t.use_fused_renderer:
         from gmpi_tpu.core.bands import fused_plans_for_config
 
+        assert align_corners, (
+            "use_fused_renderer requires planes.align_corners=True "
+            "(the fused kernel's coordinate convention)")
         fused_plans = fused_plans_for_config(cfg)
 
     def synth(params_g, buffers_g, z, rng, stop_all_grad=False):
