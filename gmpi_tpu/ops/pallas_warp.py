@@ -343,7 +343,7 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
                 color_ref, depth_ref, trans_ref, warped_ref,
                 buf, sems, *, L, tex_h, tex_w, pad_bot: int,
                 bands: FusedBands, early_out: bool, eps: float,
-                precision=lax.Precision.HIGH):
+                precision=lax.Precision.HIGH, compute_dtype=None):
     """Fused warp+composite, MXU formulation.
 
     Per (plane, 16x64 pixel subtile): slice + diagonally rebase a texture
@@ -417,6 +417,7 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
         dsc = scal_ref[0, l, 4]
         y0 = y_lo_aligned(l)  # recompute (cheap scalar path)
 
+        cd = compute_dtype or f32
         parts = []
         for st in range(n_sub):
             rs = slice(st * 8, st * 8 + 8)
@@ -446,7 +447,14 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
             win = pltpu.roll(win, -shift, 2)[:, :, :b_xp]   # [4, rwp, b_x]
             a2 = win.reshape(4 * rwp, b_xp)                 # rows (c, r) c-major
             fx_rel = jnp.where(fx < -1.0, -1e9, fx - cx.astype(f32))
+            # compute_dtype=bf16: texture operand + hat VALUES in bf16 with
+            # fp32 MXU accumulation (fast mode, ~5e-3 rel; fp32 is the parity
+            # mode).  Hats are computed in fp32 first — casting the
+            # *coordinates* would shift taps by up to 0.25 texel at band
+            # offsets ~64 (bf16 has 8 mantissa bits)
             hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(fx_rel[None] - iota_x))
+            if cd != f32:
+                hat_x = hat_x.astype(cd)
             mixed = lax.dot_general(
                 a2, hat_x, (((1,), (0,)), ((), ())),
                 precision=precision, preferred_element_type=f32)
@@ -511,6 +519,7 @@ def warp_composite_fwd(
     carry=None,             # (color_pre, depth_pre, trans) from nearer slabs
     pad_bot: int = PADY_BOT,
     precision=lax.Precision.HIGH,
+    compute_dtype=None,     # bf16: half texture DMA + hat vregs, fp32 accum
 ):
     """Slab partials + warped residual for one plane chunk.
 
@@ -541,7 +550,8 @@ def warp_composite_fwd(
 
     kernel = functools.partial(
         _fwd_kernel, L=l_planes, tex_h=tex_h, tex_w=tex_w, pad_bot=pad_bot,
-        bands=bands, early_out=early_out, eps=eps, precision=precision)
+        bands=bands, early_out=early_out, eps=eps, precision=precision,
+        compute_dtype=compute_dtype)
 
     grid = (v, n_strips)
     out_shape = (
@@ -576,7 +586,8 @@ def warp_composite_fwd(
                              lambda vi, si: (vi, 0, 0, si, 0, 0)),
             ),
             scratch_shapes=[
-                pltpu.VMEM((1, 4, 2 * bands.by_pad, tex_pad.shape[4]), jnp.float32),
+                pltpu.VMEM((1, 4, 2 * bands.by_pad, tex_pad.shape[4]),
+                           compute_dtype or jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -1292,6 +1303,7 @@ def render_mpi_fused_fwd(
     eps: float = EPS,
     interpret: bool = False,
     precision=lax.Precision.HIGH,
+    compute_dtype=None,
 ):
     """Full fused MPI render forward: chained slab kernels front-to-back.
 
@@ -1306,14 +1318,14 @@ def render_mpi_fused_fwd(
     rx, ry, q = flatten_pixels(rx), flatten_pixels(ry), flatten_pixels(q)
     pad_bot = max(PADY_BOT, max(b[2] if not isinstance(b, FusedBands) else b.by_pad
                                 for _, _, b in plan))
-    tex_pad = pad_textures(rgba.astype(jnp.float32), pad_bot)
+    tex_pad = pad_textures(rgba.astype(compute_dtype or jnp.float32), pad_bot)
     carry = None
     warped_parts = []
     for lo, hi, bands in plan:
         c, d, t, w = warp_composite_fwd(
             tex_pad[:, lo:hi], rx, ry, q, scal[:, lo:hi], bands,
             early_out=early_out, eps=eps, interpret=interpret, carry=carry,
-            pad_bot=pad_bot, precision=precision)
+            pad_bot=pad_bot, precision=precision, compute_dtype=compute_dtype)
         carry = (c, d, t)
         warped_parts.append(w)
     color, depth, trans = carry
@@ -1401,7 +1413,8 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
 def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
                         early_out: bool = True, eps: float = EPS,
                         interpret: bool = False,
-                        precision=lax.Precision.HIGH):
+                        precision=lax.Precision.HIGH,
+                        compute_dtype=None):
     """Build the fused MPI renderer with its exact custom VJP.
 
     ``plan`` is a tuple of ``(lo, hi, FusedBands)`` (see
@@ -1429,14 +1442,14 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
         color, depth, trans, _ = render_mpi_fused_fwd(
             rgba, dhw, ray_dir, eye_pos, z_dir, plan,
             early_out=early_out, eps=eps, interpret=interpret,
-            precision=precision)
+            precision=precision, compute_dtype=compute_dtype)
         return color, depth, trans
 
     def fn_fwd(rgba, dhw, ray_dir, eye_pos, z_dir):
         color, depth, trans, warped = render_mpi_fused_fwd(
             rgba, dhw, ray_dir, eye_pos, z_dir, plan,
             early_out=early_out, eps=eps, interpret=interpret,
-            precision=precision)
+            precision=precision, compute_dtype=compute_dtype)
         return (color, depth, trans), (warped, dhw, ray_dir, eye_pos, z_dir)
 
     def fn_bwd(res, cot):
