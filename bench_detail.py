@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--precision", default="high", choices=["default", "high", "highest"],
                     help="MXU precision of the fused path (default = bf16x1 fast mode)")
     ap.add_argument("--no_early_out", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 texture/hat operands, fp32 accumulation")
     args = ap.parse_args()
 
     if args.fused:
@@ -161,8 +163,9 @@ def fused_detail(args):
     print("bands_ok:", bool(jax.jit(lambda: fused_bands_ok(scal, rx, ry, plan))()))
 
     early = not args.no_early_out
+    cd = jnp.bfloat16 if args.bf16 else None
     fn = make_fused_renderer(plan, splat_plan, R, R, early_out=early,
-                             precision=prec)
+                             precision=prec, compute_dtype=cd)
 
     def timed(f, *a, name="", iters=3):
         r = f(*a)
@@ -179,7 +182,7 @@ def fused_detail(args):
     fwd_nores = jax.jit(lambda x: fn(x, dhw, ray_dir, eye, z_dir)[0])
     fwd_res = jax.jit(lambda x: render_mpi_fused_fwd(
         x, dhw, ray_dir, eye, z_dir, plan, early_out=early,
-        precision=prec)[3])
+        precision=prec, compute_dtype=cd)[3])
     grad = jax.jit(jax.grad(
         lambda x: jnp.sum(fn(x, dhw, ray_dir, eye, z_dir)[0] * cot)))
 
