@@ -812,8 +812,12 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
                 hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(fy_rel[None] - iota_r))
                 t_parts = [hat_y * g[c][None] for c in range(4)]
                 t_all = jnp.concatenate(t_parts, axis=0)       # [4*rwp, 8, 128]
+                # plain 2D rhs-transposed matmul (multi-dim contractions are
+                # a Mosaic lowering risk): contract the 1024 subtile pixels
                 d_win = lax.dot_general(
-                    t_all, hat_x, (((1, 2), (1, 2)), ((), ())),
+                    t_all.reshape(4 * rwp, 8 * LANES),
+                    hat_x.reshape(b_xp, 8 * LANES),
+                    (((1,), (1,)), ((), ())),
                     precision=precision,
                     preferred_element_type=f32)                 # [4*rwp, b_xp]
                 d_win = d_win.reshape(4, rwp, b_xp)
