@@ -455,9 +455,12 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
             hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(fx_rel[None] - iota_x))
             if cd != f32:
                 hat_x = hat_x.astype(cd)
+            # plain 2D matmul (3-D operands are a Mosaic lowering risk);
+            # the [4*rwp, 1024] -> [4*rwp, 8, 128] split is layout-free
             mixed = lax.dot_general(
-                a2, hat_x, (((1,), (0,)), ((), ())),
+                a2, hat_x.reshape(b_xp, 8 * LANES), (((1,), (0,)), ((), ())),
                 precision=precision, preferred_element_type=f32)
+            mixed = mixed.reshape(4 * rwp, 8, LANES)
             # mixed [4*rwp, 8, 128]: row c*rwp + r = window row r of channel c
             fy_rel = fy - (y0 - PADY_TOP + ry2).astype(f32)
             hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(fy_rel[None] - iota_r))
