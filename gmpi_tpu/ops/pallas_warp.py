@@ -340,10 +340,11 @@ def unflatten_pixels(y, h, w):
 
 def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
                 tex_ref,
-                color_ref, depth_ref, trans_ref, warped_ref,
-                buf, sems, *, L, tex_h, tex_w, pad_bot: int,
+                color_ref, depth_ref, trans_ref, *rest,
+                L, tex_h, tex_w, pad_bot: int,
                 bands: FusedBands, early_out: bool, eps: float,
-                precision=lax.Precision.HIGH, compute_dtype=None):
+                precision=lax.Precision.HIGH, compute_dtype=None,
+                with_warped: bool = True):
     """Fused warp+composite, MXU formulation.
 
     Per (plane, 16x64 pixel subtile): slice + diagonally rebase a texture
@@ -354,6 +355,11 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
     axis), so the ``precision=HIGH`` (bf16x3) matmul is accurate to ~1e-6 —
     each output element is a sum of <=2 products.
     """
+    if with_warped:
+        warped_ref, buf, sems = rest
+    else:
+        buf, sems = rest
+        warped_ref = None
     d_y, by_pad, b_xp = bands.d_y, bands.by_pad, bands.b_x
     rw = STRIP + d_y
     rwp = ((rw + 8 + 7) // 8) * 8   # sublane rolls need 8-aligned shapes
@@ -472,7 +478,8 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
                 chans.append(acc)
             parts.append(jnp.stack(chans, axis=0))          # [4, 8, 128]
         samp_full = jnp.concatenate(parts, axis=1)           # [4, R8, 128]
-        warped_ref[0, pl.ds(l, 1), :, 0] = samp_full[None]
+        if warped_ref is not None:
+            warped_ref[0, pl.ds(l, 1), :, 0] = samp_full[None]
         alpha = samp_full[3]
         wgt = alpha * acc_t
         acc_rgb = acc_rgb + wgt[None] * samp_full[:3]
@@ -495,8 +502,9 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
                 return compute_plane(l, slot, acc_rgb, acc_d, acc_t)
 
             def dead(_):
-                warped_ref[0, pl.ds(l, 1), :, 0] = jnp.zeros(
-                    (1, 4, r8, LANES), f32)
+                if warped_ref is not None:
+                    warped_ref[0, pl.ds(l, 1), :, 0] = jnp.zeros(
+                        (1, 4, r8, LANES), f32)
                 return acc_rgb, acc_d, acc_t
 
             return lax.cond(jnp.max(acc_t) >= 1e-6, live, dead, 0)
@@ -523,6 +531,7 @@ def warp_composite_fwd(
     pad_bot: int = PADY_BOT,
     precision=lax.Precision.HIGH,
     compute_dtype=None,     # bf16: half texture DMA + hat vregs, fp32 accum
+    with_warped: bool = True,   # False: skip the VJP residual (inference)
 ):
     """Slab partials + warped residual for one plane chunk.
 
@@ -554,18 +563,27 @@ def warp_composite_fwd(
     kernel = functools.partial(
         _fwd_kernel, L=l_planes, tex_h=tex_h, tex_w=tex_w, pad_bot=pad_bot,
         bands=bands, early_out=early_out, eps=eps, precision=precision,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, with_warped=with_warped)
 
     grid = (v, n_strips)
-    out_shape = (
+    out_shape = [
         jax.ShapeDtypeStruct((v, 3, n_strips, r8, LANES), jnp.float32),
         jax.ShapeDtypeStruct((v, n_strips, r8, LANES), jnp.float32),
         jax.ShapeDtypeStruct((v, n_strips, r8, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((v, l_planes, 4, n_strips, r8, LANES), jnp.float32),
-    )
+    ]
     px = lambda vi, si: (vi, si, 0, 0)
     cspec = pl.BlockSpec((1, 3, 1, r8, LANES), lambda vi, si: (vi, 0, si, 0, 0))
-    color, depth, trans, warped = pl.pallas_call(
+    out_specs = [
+        cspec,
+        pl.BlockSpec((1, 1, r8, LANES), px),
+        pl.BlockSpec((1, 1, r8, LANES), px),
+    ]
+    if with_warped:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (v, l_planes, 4, n_strips, r8, LANES), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, l_planes, 4, 1, r8, LANES),
+                                      lambda vi, si: (vi, 0, 0, si, 0, 0)))
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -581,27 +599,24 @@ def warp_composite_fwd(
                 pl.BlockSpec((1, 1, r8, LANES), px),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=(
-                cspec,
-                pl.BlockSpec((1, 1, r8, LANES), px),
-                pl.BlockSpec((1, 1, r8, LANES), px),
-                pl.BlockSpec((1, l_planes, 4, 1, r8, LANES),
-                             lambda vi, si: (vi, 0, 0, si, 0, 0)),
-            ),
+            out_specs=tuple(out_specs),
             scratch_shapes=[
                 pltpu.VMEM((1, 4, 2 * bands.by_pad, tex_pad.shape[4]),
                            compute_dtype or jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=out_shape,
+        out_shape=tuple(out_shape),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(scal, rx, ry, q, cin, din, tin, tex_flat)
-    return color, depth, trans, warped
+    if with_warped:
+        return outs
+    color, depth, trans = outs
+    return color, depth, trans, None
 
 
 # ---------------------------------------------------------------------------
@@ -1311,6 +1326,7 @@ def render_mpi_fused_fwd(
     interpret: bool = False,
     precision=lax.Precision.HIGH,
     compute_dtype=None,
+    with_warped: bool = True,
 ):
     """Full fused MPI render forward: chained slab kernels front-to-back.
 
@@ -1332,12 +1348,13 @@ def render_mpi_fused_fwd(
         c, d, t, w = warp_composite_fwd(
             tex_pad[:, lo:hi], rx, ry, q, scal[:, lo:hi], bands,
             early_out=early_out, eps=eps, interpret=interpret, carry=carry,
-            pad_bot=pad_bot, precision=precision, compute_dtype=compute_dtype)
+            pad_bot=pad_bot, precision=precision, compute_dtype=compute_dtype,
+            with_warped=with_warped)
         carry = (c, d, t)
         warped_parts.append(w)
     color, depth, trans = carry
     # warped stays in the subtile-flat layout (the VJP consumes it there)
-    warped = jnp.concatenate(warped_parts, axis=1)
+    warped = jnp.concatenate(warped_parts, axis=1) if with_warped else None
     color = unflatten_pixels(color, h, w_img)
     depth = unflatten_pixels(depth, h, w_img)
     trans = unflatten_pixels(trans, h, w_img)
@@ -1360,7 +1377,7 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
     bands = FusedBands(*bands)
     splat_plan = SplatPlan(*splat_plan)
 
-    def _fwd(rgba, dhw, ray_dir, eye_pos, z_dir):
+    def _fwd(rgba, dhw, ray_dir, eye_pos, z_dir, with_warped):
         v = rgba.shape[0]
         h, w_img = ray_dir.shape[2], ray_dir.shape[3]
         scal = jax.vmap(lambda e: plane_affine(dhw, e, tex_h, tex_w))(eye_pos)
@@ -1373,7 +1390,7 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
         tex_pad = pad_textures(rgba.astype(jnp.float32), pad_bot)
         c, d, t, warped = warp_composite_fwd(
             tex_pad, rxf, ryf, qf, scal, bands, early_out=early_out, eps=eps,
-            interpret=interpret, pad_bot=pad_bot)
+            interpret=interpret, pad_bot=pad_bot, with_warped=with_warped)
         c = unflatten_pixels(c, h, w_img)
         d = unflatten_pixels(d, h, w_img)
         t = unflatten_pixels(t, h, w_img)
@@ -1381,11 +1398,11 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
 
     @jax.custom_vjp
     def fn(rgba, dhw, ray_dir, eye_pos, z_dir):
-        out, _ = _fwd(rgba, dhw, ray_dir, eye_pos, z_dir)
+        out, _ = _fwd(rgba, dhw, ray_dir, eye_pos, z_dir, False)
         return out
 
     def fn_fwd(rgba, dhw, ray_dir, eye_pos, z_dir):
-        out, warped = _fwd(rgba, dhw, ray_dir, eye_pos, z_dir)
+        out, warped = _fwd(rgba, dhw, ray_dir, eye_pos, z_dir, True)
         return out, (warped, dhw, ray_dir, eye_pos, z_dir)
 
     def fn_bwd(res, cot):
@@ -1449,7 +1466,8 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
         color, depth, trans, _ = render_mpi_fused_fwd(
             rgba, dhw, ray_dir, eye_pos, z_dir, plan,
             early_out=early_out, eps=eps, interpret=interpret,
-            precision=precision, compute_dtype=compute_dtype)
+            precision=precision, compute_dtype=compute_dtype,
+            with_warped=False)
         return color, depth, trans
 
     def fn_fwd(rgba, dhw, ray_dir, eye_pos, z_dir):
