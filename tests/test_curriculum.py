@@ -1,5 +1,6 @@
 """Step-keyed curriculum machinery (``gmpi/curriculums.py:50-85``)."""
 
+import pytest
 from gmpi_tpu.curriculum import Curriculum, from_reference_style
 
 
@@ -27,6 +28,7 @@ def test_upsample_boundaries():
     assert cur.stage_boundaries() == [0, 500, 2000]
 
 
+@pytest.mark.slow
 def test_curriculum_drives_train_loop(tmp_path):
     """2-stage toy schedule: the driver rebuilds its jitted step and data
     iterator at the boundary (batch size 4 -> 2, lr drop)."""

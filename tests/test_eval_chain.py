@@ -63,6 +63,7 @@ class StubDataset:
                 np.zeros(16, np.float32), 0, 0.0, 0.0)
 
 
+@pytest.mark.slow
 def test_eval_all_chain_with_stub_adapters(tmp_path, monkeypatch):
     cfg = tiny_config()
     state = init_train_state(cfg, jax.random.key(0))

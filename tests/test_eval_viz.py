@@ -78,6 +78,7 @@ def test_depth_and_angle_errors():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_generate_mpi_chunked_matches_full():
     cfg = tiny_gen_cfg(res=16, alpha_res=16)
     params, buffers = cfg.init(jax.random.key(0))
@@ -138,6 +139,7 @@ def test_volume_bounds():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_inception_pool3_shapes():
     from gmpi_tpu.eval.inception import inception_pool3, make_feature_fn, random_params
 

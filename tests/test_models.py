@@ -168,6 +168,7 @@ def test_generator_variants_run(cond_mode, embed_func):
     assert np.isfinite(np.asarray(mpi)).all()
 
 
+@pytest.mark.slow
 def test_generator_grads_flow(gen_setup):
     cfg, params, buffers, geom, xyz, z, _ = gen_setup
 

@@ -58,6 +58,7 @@ def test_plane_sharded_matches(fixture):
     np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_plane_tile_sharded_matches(fixture):
     geom, rgba, ray_dir, eye, z_dir, ref = fixture
     mesh = make_mesh([4, 2], ("plane", "tile"))
@@ -86,6 +87,7 @@ def test_plane_sharded_grads_match(fixture):
     np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tile_sharded_with_bands_matches():
     """Production banded-MXU warp through the tile-sharded path (VERDICT:
     the sharded renderer must use the production kernel)."""

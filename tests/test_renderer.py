@@ -210,6 +210,7 @@ def test_differentiable_pose_gradients():
     assert float(jax.grad(loss_stopped)(0.0)) == 0.0
 
 
+@pytest.mark.slow
 def test_chunked_per_chunk_bands_matches_full():
     """Per-chunk band lists (python-unrolled slabs) == uniform-band render."""
     from gmpi_tpu.core.renderer import render_mpi, render_mpi_chunked, homography_grid

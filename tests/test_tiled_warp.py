@@ -85,6 +85,7 @@ def test_tiled_zero_padding_out_of_range():
     np.testing.assert_array_equal(np.asarray(out), 0.0)
 
 
+@pytest.mark.slow
 def test_row_scan_matches_vectorized():
     rng = np.random.default_rng(4)
     grid = _homography_grids(n_views=1, n_planes=4, img=64)
@@ -101,6 +102,7 @@ def test_row_scan_matches_vectorized():
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bands_for_config():
     from gmpi_tpu.config import get_config
     from gmpi_tpu.core.bands import bands_for_config, estimate_bands

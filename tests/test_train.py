@@ -83,6 +83,7 @@ def test_train_step_deterministic(setup):
     assert float(m1["g_loss"]) == float(m2["g_loss"])
 
 
+@pytest.mark.slow
 def test_batch_split_matches_full_batch_loss_scale():
     """Gradient accumulation across micro-batches totals the same loss
     normalization as one batch (``train.py:777``)."""
@@ -96,6 +97,7 @@ def test_batch_split_matches_full_batch_loss_scale():
     assert np.isfinite(float(metrics["g_loss"]))
 
 
+@pytest.mark.slow
 def test_lighting_augmentation_path():
     cfg = tiny_config(lighting=True)
     state = init_train_state(cfg, jax.random.key(0))
@@ -110,6 +112,7 @@ def test_lighting_augmentation_path():
         assert np.isfinite(float(v)), k
 
 
+@pytest.mark.slow
 def test_train_step_with_plane_chunked_renderer():
     import dataclasses
 
@@ -125,6 +128,7 @@ def test_train_step_with_plane_chunked_renderer():
         assert np.isfinite(float(v)), k
 
 
+@pytest.mark.slow
 def test_edge_aware_loss_in_g_phase():
     cfg = tiny_config()
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(
@@ -139,6 +143,7 @@ def test_edge_aware_loss_in_g_phase():
         assert np.isfinite(float(v)), k
 
 
+@pytest.mark.slow
 def test_frozen_d_and_g_iters():
     cfg = tiny_config()
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, train_d=False, g_iters=2))

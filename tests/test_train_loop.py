@@ -29,6 +29,7 @@ def synthetic_batches(n, batch=4, size=16, seed=0):
         )
 
 
+@pytest.mark.slow
 def test_train_loop_end_to_end(tmp_path):
     cfg = tiny_config()
     out = str(tmp_path / "run")
@@ -62,6 +63,7 @@ def test_train_loop_end_to_end(tmp_path):
     assert int(np.asarray(state2.step)) == 10
 
 
+@pytest.mark.slow
 def test_train_loop_fid_and_rich_snapshots(tmp_path):
     """In-training FID wiring (``gmpi/train.py:1009-1071``) and the
     fixed/tilted/random EMA+raw grids with MPI sheets (``:815-994``)."""
