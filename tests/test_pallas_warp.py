@@ -253,3 +253,18 @@ def test_fused_bf16_fast_mode_interpret():
     c, _, _ = fn(rgba, dhw, ray_dir, eye, z_dir)
     c_ref, _, _ = render_slab_partial(rgba, geom.dhw, ray_dir, eye, z_dir)
     assert float(jnp.max(jnp.abs(c - c_ref))) < 2e-2
+
+
+def test_splat_plans_ok_accepts_plan_and_rejects_shrunk():
+    from gmpi_tpu.core.renderer import plan_fused
+    from gmpi_tpu.ops.pallas_warp import SplatPlan, splat_plans_ok
+
+    n_planes, res = 2, 256
+    geom, ray_dir, eye, z_dir = _setup(n_planes, res)
+    dhw = jnp.asarray(geom.dhw)
+    scal = plane_affine(dhw, eye[0], res, res)[None]
+    _, ry, _ = ray_fields(ray_dir, z_dir)
+    plan, splat = plan_fused(dhw, ray_dir, eye, z_dir, res, res)
+    assert bool(splat_plans_ok(scal, ry, plan, splat))
+    shrunk = [SplatPlan(1, s[1]) for s in splat]
+    assert not bool(splat_plans_ok(scal, ry, plan, shrunk))
