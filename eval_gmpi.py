@@ -40,6 +40,7 @@ def build_generator(args):
         n_planes=args.n_planes, img_size=args.img_size,
         chunk_n_planes=args.chunk_n_planes, truncation_psi=args.truncation_psi,
         sanity_full_alpha=getattr(args, "stylegan2_sanity_check", False),
+        use_fused=getattr(args, "fused_renderer", False),
     )
 
 
@@ -57,6 +58,8 @@ def main():
     p.add_argument("--img_size", type=int, default=None)
     p.add_argument("--chunk_n_planes", type=int, default=-1)
     p.add_argument("--truncation_psi", type=float, default=1.0)
+    p.add_argument("--fused_renderer", action="store_true",
+                   help="render through the fused Pallas kernel when shapes allow")
     p.add_argument("--stylegan2_sanity_check", action="store_true",
                    help="force all alphas to 1 (validates renderer+eval plumbing "
                         "against vanilla StyleGAN2; eval.sh:43-47)")

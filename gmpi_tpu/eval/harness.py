@@ -72,6 +72,7 @@ class FakeImageGenerator:
         chunk_n_planes: int = -1,
         truncation_psi: float = 1.0,
         sanity_full_alpha: bool = False,
+        use_fused: bool = False,
     ):
         """``sanity_full_alpha=True`` is the ``stylegan2_sanity_check`` mode
         (``gmpi/eval/eval.sh:43-47``, ``prepare_fake_data.py:51-56``): force
@@ -96,18 +97,38 @@ class FakeImageGenerator:
         self.xyz_dict = cfg.multi_res_xyz(self.geom)
         self.intr = cam.intrinsics_from_fov(cfg.fov_deg, self.img_size, self.img_size)
 
-        from gmpi_tpu.core.bands import bands_for_config
+        from gmpi_tpu.core.bands import bands_for_config, fused_plans_for_config
 
-        tiled_bands = bands_for_config(cfg, img_size=self.img_size, n_planes=self.n_planes)
+        # fused kernel needs subtile-divisible shapes (e.g. the 224^2
+        # geometry renders fall back to the banded path)
+        fused_ok = (use_fused and cfg.planes.align_corners
+                    and self.img_size % 128 == 0
+                    and cfg.hparams.tex_size % 16 == 0)
+        if fused_ok:
+            from gmpi_tpu.core.renderer import render_mpi_fused
 
-        def _render(mpi, yaws, pitches):
-            c2w, _, _ = poses_mod.sample_sphere_poses(
-                None, mpi.shape[0], cfg.camera, given_yaws=yaws, given_pitches=pitches
-            )
-            ray_dir, eye, z_dir = cam.generate_rays(self.intr, c2w)
-            out = render_mpi(mpi, self.geom.dhw, ray_dir, eye, z_dir, cfg.planes.align_corners,
-                             tiled_bands=tiled_bands)
-            return out.color * 2.0 - 1.0, out.depth
+            plans = fused_plans_for_config(
+                cfg, img_size=self.img_size, n_planes=self.n_planes)
+
+            def _render(mpi, yaws, pitches):
+                c2w, _, _ = poses_mod.sample_sphere_poses(
+                    None, mpi.shape[0], cfg.camera, given_yaws=yaws, given_pitches=pitches
+                )
+                ray_dir, eye, z_dir = cam.generate_rays(self.intr, c2w)
+                out = render_mpi_fused(mpi, jnp.asarray(self.geom.dhw),
+                                       ray_dir, eye, z_dir, plans)
+                return out.color * 2.0 - 1.0, out.depth
+        else:
+            tiled_bands = bands_for_config(cfg, img_size=self.img_size, n_planes=self.n_planes)
+
+            def _render(mpi, yaws, pitches):
+                c2w, _, _ = poses_mod.sample_sphere_poses(
+                    None, mpi.shape[0], cfg.camera, given_yaws=yaws, given_pitches=pitches
+                )
+                ray_dir, eye, z_dir = cam.generate_rays(self.intr, c2w)
+                out = render_mpi(mpi, self.geom.dhw, ray_dir, eye, z_dir, cfg.planes.align_corners,
+                                 tiled_bands=tiled_bands)
+                return out.color * 2.0 - 1.0, out.depth
 
         self._render = jax.jit(_render)
 
