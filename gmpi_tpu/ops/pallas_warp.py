@@ -151,7 +151,9 @@ def _plane_spans(scal, rx, ry):
                 hi = np.where(np.isinf(sl), -np.inf, sl).max()
                 if np.isfinite(hi - lo):
                     sy_strip[l] = max(sy_strip[l], float(hi - lo))
-                sy[l] = max(sy[l], block_span(sl, STRIP, LANES))
+                # d_y at the kernel's rebase granularity (16x64 subtiles);
+                # 128-lane spans doubled the band at strongly tilted poses
+                sy[l] = max(sy[l], block_span(sl, STRIP, SUBW))
     return sx, sy, sy_strip, sx_abs
 
 
