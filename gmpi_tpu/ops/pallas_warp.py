@@ -821,11 +821,14 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
             oyb = ryb + OUT_PAD_TOP
             mine = ((oyb >= bi * BLK) & (oyb < (bi + 1) * BLK)
                     & (oyb >= 0) & (oyb < n_blocks * BLK))
+            g = gbuf[0, :, pl.ds(slot * n_ps + n, 1),
+                     st * 8:(st + 1) * 8, :][:, 0]              # [4, 8, 128]
+            # forward early-out leaves occluded planes with all-zero
+            # cotangent — skip their hats/matmul/accumulate entirely
+            live = jnp.any(g != 0.0)
 
-            @pl.when(mine)
+            @pl.when(mine & live)
             def _():
-                g = gbuf[0, :, pl.ds(slot * n_ps + n, 1),
-                         st * 8:(st + 1) * 8, :][:, 0]          # [4, 8, 128]
                 fx_rel = jnp.where(fx < -1.0, -1e9, fx - cx.astype(f32))
                 hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(fx_rel[None] - iota_x))
                 fy_rel = fy - ryb.astype(f32)
