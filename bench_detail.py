@@ -179,6 +179,22 @@ def fused_detail(args):
         print(f"{name:<34} {min(ts) * 1000:8.1f} ms")
         return min(ts)
 
+    # composite backward alone (XLA suffix sums over the residual stack) —
+    # decides whether fusing it into the splat is worth it
+    from gmpi_tpu.ops.pallas_warp import (
+        composite_bwd, flatten_pixels, LANES)
+
+    def comp_bwd_only(warped_f, gc, qf, scal_v):
+        delta = scal_v[:, :, 4][:, :, None, None] * qf[:, None]
+        return composite_bwd(warped_f, delta, gc, None, None)
+
+    rng2 = np.random.default_rng(1)
+    warped_f = jnp.asarray(rng2.random((1, L, 4, R * R // LANES, LANES)).astype(np.float32))
+    rxs, rys, qs = ray_fields(ray_dir.astype(jnp.float32), z_dir.astype(jnp.float32))
+    qf = flatten_pixels(qs).reshape(1, -1, LANES)
+    gc = flatten_pixels(cot).reshape(1, 3, -1, LANES)
+    comp_jit = jax.jit(comp_bwd_only)
+
     fwd_nores = jax.jit(lambda x: fn(x, dhw, ray_dir, eye, z_dir)[0])
     fwd_res = jax.jit(lambda x: render_mpi_fused_fwd(
         x, dhw, ray_dir, eye, z_dir, plan, early_out=early,
@@ -191,6 +207,7 @@ def fused_detail(args):
         ctx.__enter__()
     t_fwd = timed(fwd_nores, rgba, name="fused fwd (no residual read)")
     timed(fwd_res, rgba, name="fused fwd (+warped residual)")
+    timed(comp_jit, warped_f, gc, qf, scal, name="composite_bwd alone (XLA)")
     t_fb = timed(grad, rgba, name="fused fwd+bwd")
     if ctx:
         ctx.__exit__(None, None, None)
