@@ -1309,8 +1309,16 @@ def composite_bwd(warped, delta, g_color, g_depth, g_trans, eps: float = EPS):
     if g_depth is not None:
         e = e + g_depth[:, None] * delta
     we = w * e
-    # u_l = suffix-exclusive cumsum of we along planes
-    u = jnp.flip(jnp.cumsum(jnp.flip(we, 1), axis=1), 1) - we
+    # u_l = suffix-exclusive cumsum of we along planes.  Computed by
+    # shifting BEFORE the cumsum: the inclusive-cumsum-minus-self trick
+    # catastrophically cancels when a near-opaque plane makes the suffix
+    # terms ~1e-10-scale next to an O(1) we_l — and the division by
+    # (1 - a + eps) below amplifies that loss to an O(1) gradient error
+    we_rev = jnp.flip(we, 1)
+    u_rev = jnp.cumsum(
+        jnp.concatenate([jnp.zeros_like(we_rev[:, :1]), we_rev[:, :-1]],
+                        axis=1), axis=1)
+    u = jnp.flip(u_rev, 1)
 
     d_alpha = t_excl * e - u / one_m
     if g_trans is not None:
@@ -1382,7 +1390,7 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
     bands = FusedBands(*bands)
     splat_plan = SplatPlan(*splat_plan)
 
-    def _fwd(rgba, dhw, ray_dir, eye_pos, z_dir, with_warped):
+    def _fwd(rgba, dhw, ray_dir, eye_pos, z_dir, with_warped, early):
         v = rgba.shape[0]
         h, w_img = ray_dir.shape[2], ray_dir.shape[3]
         scal = jax.vmap(lambda e: plane_affine(dhw, e, tex_h, tex_w))(eye_pos)
@@ -1394,7 +1402,7 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
         pad_bot = max(PADY_BOT, bands.by_pad)
         tex_pad = pad_textures(rgba.astype(jnp.float32), pad_bot)
         c, d, t, warped = warp_composite_fwd(
-            tex_pad, rxf, ryf, qf, scal, bands, early_out=early_out, eps=eps,
+            tex_pad, rxf, ryf, qf, scal, bands, early_out=early, eps=eps,
             interpret=interpret, pad_bot=pad_bot, with_warped=with_warped)
         c = unflatten_pixels(c, h, w_img)
         d = unflatten_pixels(d, h, w_img)
@@ -1403,11 +1411,13 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
 
     @jax.custom_vjp
     def fn(rgba, dhw, ray_dir, eye_pos, z_dir):
-        out, _ = _fwd(rgba, dhw, ray_dir, eye_pos, z_dir, False)
+        out, _ = _fwd(rgba, dhw, ray_dir, eye_pos, z_dir, False, early_out)
         return out
 
     def fn_fwd(rgba, dhw, ray_dir, eye_pos, z_dir):
-        out, warped = _fwd(rgba, dhw, ray_dir, eye_pos, z_dir, True)
+        # early_out=False: see make_fused_renderer.fn_fwd (occluder alpha
+        # gradients need the hidden planes)
+        out, warped = _fwd(rgba, dhw, ray_dir, eye_pos, z_dir, True, False)
         return out, (warped, dhw, ray_dir, eye_pos, z_dir)
 
     def fn_bwd(res, cot):
@@ -1476,9 +1486,14 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
         return color, depth, trans
 
     def fn_fwd(rgba, dhw, ray_dir, eye_pos, z_dir):
+        # NO early-out on the grad path: a visible occluder's alpha gradient
+        # needs the composite of the planes BEHIND it at O(1) —
+        # d alpha_l = T_l * (e_l - sum_m>l a_m e_m prod(1-a_k+eps)) — so
+        # skipping fully-occluded planes corrupts d_alpha of near-opaque
+        # planes (forward contributions are T-weighted; gradients are not)
         color, depth, trans, warped = render_mpi_fused_fwd(
             rgba, dhw, ray_dir, eye_pos, z_dir, plan,
-            early_out=early_out, eps=eps, interpret=interpret,
+            early_out=False, eps=eps, interpret=interpret,
             precision=precision, compute_dtype=compute_dtype)
         return (color, depth, trans), (warped, dhw, ray_dir, eye_pos, z_dir)
 

@@ -48,7 +48,12 @@ def _setup(n_planes, res):
 def test_composite_bwd_matches_autodiff():
     rng = np.random.default_rng(1)
     v, l, h, w = 2, 7, 8, 16
-    warped = jnp.asarray(rng.random((v, l, 4, h, w)).astype(np.float32))
+    warped_np = rng.random((v, l, 4, h, w)).astype(np.float32)
+    # include exactly-opaque planes mid-stack: the occluder's alpha gradient
+    # divides by (1 - a + eps) = 1e-10, which amplifies any suffix-sum
+    # cancellation to O(1) (regression for the exclusive-cumsum fix)
+    warped_np[:, 2, 3] = 1.0
+    warped = jnp.asarray(warped_np)
     delta = jnp.asarray(rng.random((v, l, h, w)).astype(np.float32) + 0.9)
 
     def fwd(warped):
@@ -268,3 +273,36 @@ def test_splat_plans_ok_accepts_plan_and_rejects_shrunk():
     assert bool(splat_plans_ok(scal, ry, plan, splat))
     shrunk = [SplatPlan(1, s[1]) for s in splat]
     assert not bool(splat_plans_ok(scal, ry, plan, shrunk))
+
+
+@pytest.mark.slow
+def test_fused_grads_exact_behind_opaque_planes():
+    """Regression: a visible plane with alpha=1 must still receive the
+    behind-composite term in its alpha gradient (the VJP's forward pass
+    must not early-out — d alpha_l depends on hidden planes at O(1))."""
+    from gmpi_tpu.core.renderer import render_slab_partial
+    from gmpi_tpu.ops.pallas_warp import (make_fused_renderer,
+                                          plan_fused_render, plan_splat)
+
+    L, res = 3, 256
+    geom, ray_dir, eye, z_dir = _setup(L, res)
+    dhw = jnp.asarray(geom.dhw)
+    scal = plane_affine(dhw, eye[0], res, res)[None]
+    rx, ry, _ = ray_fields(ray_dir, z_dir)
+    plan = plan_fused_render(scal, rx, ry, max_chunk_planes=1)  # force chaining
+    splat = plan_splat(scal, ry, plan, res)
+    fn = make_fused_renderer(tuple((int(a), int(b), c) for a, b, c in plan),
+                             tuple(splat), res, res, early_out=True,
+                             interpret=True)
+    rng = np.random.default_rng(0)
+    rgba = rng.random((1, L, 4, res, res)).astype(np.float32)
+    rgba[:, 0, 3] = 1.0          # opaque near plane (occludes planes 1-2)
+    rgba[:, 0, 3, :64] = 0.0     # except the top rows
+    rgba = jnp.asarray(rgba)
+    gc = jnp.asarray(rng.standard_normal((1, 3, res, res)).astype(np.float32))
+
+    g = jax.grad(lambda x: jnp.sum(fn(x, dhw, ray_dir, eye, z_dir)[0] * gc))(rgba)
+    go = jax.grad(lambda x: jnp.sum(
+        render_slab_partial(x, geom.dhw, ray_dir, eye, z_dir)[0] * gc))(rgba)
+    rel = float(jnp.max(jnp.abs(g - go))) / float(jnp.max(jnp.abs(go)))
+    assert rel < 1e-3, rel
