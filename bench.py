@@ -23,9 +23,16 @@ import time
 
 import numpy as np
 
+import os
+
 import jax
 import jax.numpy as jnp
 
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    # the image's sitecustomize re-registers the remote-TPU backend at
+    # interpreter start; the env var alone does not stick (see
+    # tests/conftest.py) — force the platform through jax.config
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -204,25 +211,117 @@ def run_xla(n_planes, res, tex, plane_chunk):
     }
 
 
+def _accelerator_alive(timeout_s: float = 240.0) -> bool:
+    """Probe the configured accelerator in a subprocess with a hard timeout.
+
+    A wedged device tunnel can block ``jax.devices()`` indefinitely inside the
+    claim handshake; probing in a child process keeps this process (and the
+    driver invoking it) from hanging.  Returns True when a trivial reduction
+    executes on the configured platform.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() in ("", "cpu"):
+        return True
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jnp.sum(jnp.ones((8, 8)))))"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return out.returncode == 0 and "64.0" in out.stdout
+
+
+def _run_fused_subprocess(timeout_s: float = 3600.0):
+    """Measure the fused path in a child process with a hard timeout.
+
+    The fused kernel's first on-device Mosaic compile is the riskiest step of
+    the whole benchmark (a pathological remote compile once wedged the device
+    tunnel); isolating it keeps this process able to fall back to the XLA
+    path.  Returns the parsed result dict, or None on timeout/crash.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, BENCH_MODE="fused")
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True,
+            text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"fused measurement timed out after {timeout_s:.0f}s"}
+    if out.returncode != 0:
+        tail = "\n".join(out.stderr.strip().splitlines()[-12:])
+        return {"error": f"fused child exited {out.returncode}", "stderr_tail": tail}
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                break
+    return {"error": "fused child produced no JSON line"}
+
+
 def main():
     import os
+
+    if os.environ.get("BENCH_MODE") == "fused":
+        # child process of _run_fused_subprocess
+        print(json.dumps(run_fused(N_PLANES, RES, TEX)))
+        return
+
+    if not _accelerator_alive():
+        # Dead tunnel: rerun ourselves on CPU so the driver still gets a
+        # parseable line, tagged so nobody mistakes it for a chip number.
+        import subprocess
+        import sys
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_CPU_FALLBACK="1")
+        raise SystemExit(subprocess.run([sys.executable, __file__], env=env).returncode)
+
+    if os.environ.get("BENCH_CPU_FALLBACK") == "1":
+        # accelerator tunnel down at measurement time — emit a small-config
+        # CPU number so the round still records a parseable (tagged) line
+        result = run_xla(32, 256, 256, plane_chunk=8)
+        result["metric"] += " [CPU FALLBACK - accelerator tunnel down]"
+        print(json.dumps(result))
+        return
 
     if os.environ.get("BENCH_FUSED", "1") == "0":
         print(json.dumps(run_xla(N_PLANES, RES, TEX, plane_chunk=16)))
         return
+    result = _run_fused_subprocess()
+    if result is not None and result.get("allclose") and result.get("bands_ok"):
+        print(json.dumps(result))
+        return
+    # never report a number that fails its own validation (or that never
+    # came back) — fall back to the tile-banded XLA formulation
+    rejected = result
+    if not _accelerator_alive():
+        # killing a wedged fused compile can take the tunnel down with it
+        # (observed 2026-08-17); don't hang in the XLA fallback too
+        import subprocess
+        import sys
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_CPU_FALLBACK="1")
+        raise SystemExit(subprocess.run([sys.executable, __file__], env=env).returncode)
     try:
-        result = run_fused(N_PLANES, RES, TEX)
-        if not result["allclose"] or not result["bands_ok"]:
-            # never report a number that fails its own validation
-            xla = run_xla(N_PLANES, RES, TEX, plane_chunk=16)
-            xla["fused_rejected"] = result
-            result = xla
+        result = run_xla(N_PLANES, RES, TEX, plane_chunk=16)
     except Exception:
-        try:
-            result = run_xla(N_PLANES, RES, TEX, plane_chunk=16)
-        except Exception:
-            result = run_xla(32, 512, 512, plane_chunk=8)
-            result["metric"] += " [fallback config]"
+        result = run_xla(32, 512, 512, plane_chunk=8)
+        result["metric"] += " [fallback config]"
+    if rejected is not None:
+        result["fused_rejected"] = rejected
     print(json.dumps(result))
 
 

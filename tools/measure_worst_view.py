@@ -20,6 +20,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    # sitecustomize re-registers the remote-TPU backend; env alone won't stick
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
