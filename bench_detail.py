@@ -133,7 +133,12 @@ def fused_detail(args):
     from gmpi_tpu.utils.roofline import TPU_V5E, attained, render_cost
 
     L, R = args.planes, args.res
-    prec = {"default": _lax.Precision.DEFAULT, "high": _lax.Precision.HIGH,
+    # Mosaic lowers only DEFAULT and HIGHEST dot precisions inside Pallas
+    # kernels (HIGH raises NotImplementedError on device); "high" stays as a
+    # CLI alias for interpret-mode experiments but maps to HIGHEST on TPU
+    on_tpu = jax.default_backend() not in ("cpu",)
+    prec = {"default": _lax.Precision.DEFAULT,
+            "high": _lax.Precision.HIGHEST if on_tpu else _lax.Precision.HIGH,
             "highest": _lax.Precision.HIGHEST}[args.precision]
     geom = geom_mod.build_plane_geometry(
         n_planes=L, min_d=0.95, max_d=1.12, distance_sample_method="inverse",

@@ -345,7 +345,7 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
                 color_ref, depth_ref, trans_ref, *rest,
                 L, tex_h, tex_w, pad_bot: int,
                 bands: FusedBands, early_out: bool, eps: float,
-                precision=lax.Precision.HIGH, compute_dtype=None,
+                precision=lax.Precision.HIGHEST, compute_dtype=None,
                 with_warped: bool = True):
     """Fused warp+composite, MXU formulation.
 
@@ -354,8 +354,10 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
     x-hats on the MXU (``[4*rwp, b_x] @ [b_x, 8, 128]``), then contract the
     ``rw`` window *rows* against per-pixel y-hats on the VPU.  Exactly
     separable bilinear interpolation (hats have <=2 nonzeros per pixel and
-    axis), so the ``precision=HIGH`` (bf16x3) matmul is accurate to ~1e-6 —
-    each output element is a sum of <=2 products.
+    axis).  ``precision=HIGHEST`` (exact fp32 contraction) is the parity
+    mode — Mosaic lowers only DEFAULT and HIGHEST dot precisions on TPU
+    (HIGH/bf16x3 raises NotImplementedError at lowering, observed on v5e);
+    the bf16 fast mode pairs ``compute_dtype=bf16`` with DEFAULT.
     """
     if with_warped:
         warped_ref, buf, sems = rest
@@ -451,8 +453,10 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
             # shifts silently miscompile on v5e Mosaic); wrapped rows land at
             # r >= rw where the y-hats are structurally zero
             win = pltpu.roll(win, rwp - rem, 1)
+            # lane rolls too: roll(-s) == roll(win_w - s) cyclically, and the
+            # non-negative form is the one Mosaic compiles correctly on v5e
             shift = cxp - s0d
-            win = pltpu.roll(win, -shift, 2)[:, :, :b_xp]   # [4, rwp, b_x]
+            win = pltpu.roll(win, win_w - shift, 2)[:, :, :b_xp]  # [4, rwp, b_x]
             a2 = win.reshape(4 * rwp, b_xp)                 # rows (c, r) c-major
             fx_rel = jnp.where(fx < -1.0, -1e9, fx - cx.astype(f32))
             # compute_dtype=bf16: texture operand + hat VALUES in bf16 with
@@ -531,7 +535,7 @@ def warp_composite_fwd(
     interpret: bool = False,
     carry=None,             # (color_pre, depth_pre, trans) from nearer slabs
     pad_bot: int = PADY_BOT,
-    precision=lax.Precision.HIGH,
+    precision=lax.Precision.HIGHEST,
     compute_dtype=None,     # bf16: half texture DMA + hat vregs, fp32 accum
     with_warped: bool = True,   # False: skip the VJP residual (inference)
 ):
@@ -855,8 +859,11 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
                 lane0 = jnp.clip(((cxp - 64) // 128) * 128, 0, wp - w_add)
                 lane0 = pl.multiple_of(lane0, 128)
                 lr = cxp - lane0
-                wide = jnp.zeros((4, rwp + 8, w_add), f32)
-                wide = wide.at[:, :, :b_xp].set(d_pad)
+                # value-level .at[].set lowers to scatter (unsupported in
+                # Mosaic) — build the widened block with a concat instead
+                wide = jnp.concatenate(
+                    [d_pad, jnp.zeros((4, rwp + 8, w_add - b_xp), f32)],
+                    axis=2)
                 wide = pltpu.roll(wide, lr, 2)
                 cur = acc[:, pl.ds(row8, rwp + 8), pl.ds(lane0, w_add)]
                 acc[:, pl.ds(row8, rwp + 8), pl.ds(lane0, w_add)] = cur + wide
@@ -882,7 +889,7 @@ def warp_splat(
     tex_h: int,
     tex_w: int,
     interpret: bool = False,
-    precision=lax.Precision.HIGH,
+    precision=lax.Precision.HIGHEST,
 ):
     """Exact warp transpose -> d_tex [V, L, 4, tex_h, tex_w] (MXU splat)."""
     v, l_planes = d_samp_flat.shape[0], d_samp_flat.shape[1]
@@ -1184,9 +1191,12 @@ def _adj_kernel(base_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
         diff = jnp.where(mask, (jf + s0) - fxs, 1e9)
         cj = jnp.floor(jnp.min(diff)).astype(jnp.int32) - 1
         shift = tc * LANES + cj - s0
-        wg = pltpu.roll(gs, -shift, 2)[:, :, :win_v]
-        wfx = pltpu.roll(fxs, -shift, 1)[:, :win_v]
-        wfy = pltpu.roll(fys, -shift, 1)[:, :win_v]
+        # negative dynamic rolls miscompile on v5e Mosaic — use the cyclic
+        # non-negative equivalent (shift is bounded by +/- win_src here)
+        wshift = lax.rem(lax.rem(-shift, win_src) + win_src, win_src)
+        wg = pltpu.roll(gs, wshift, 2)[:, :, :win_v]
+        wfx = pltpu.roll(fxs, wshift, 1)[:, :win_v]
+        wfy = pltpu.roll(fys, wshift, 1)[:, :win_v]
         v_cols = tc * LANES + m_iota                 # texel cols [STRIP, LANES]
 
         acc = jnp.zeros((4, STRIP, LANES), f32)
@@ -1337,7 +1347,7 @@ def render_mpi_fused_fwd(
     early_out: bool = True,
     eps: float = EPS,
     interpret: bool = False,
-    precision=lax.Precision.HIGH,
+    precision=lax.Precision.HIGHEST,
     compute_dtype=None,
     with_warped: bool = True,
 ):
@@ -1452,7 +1462,7 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
 def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
                         early_out: bool = True, eps: float = EPS,
                         interpret: bool = False,
-                        precision=lax.Precision.HIGH,
+                        precision=lax.Precision.HIGHEST,
                         compute_dtype=None):
     """Build the fused MPI renderer with its exact custom VJP.
 
