@@ -41,7 +41,13 @@ RES = 1024
 TEX = 1024
 INNER_ITERS = 4
 OUTER = 3
-TOL = 1e-4
+# Gate tolerance: an fp64 referee (tools/ref64.py) measures BOTH fp32 paths
+# (fused Pallas and XLA tiled) at ~1.33e-4 max rel err from the true render
+# at 96x1024^2 — the inherent fp32 texel-coordinate roundoff floor (the two
+# paths associate the homography differently, so they sit ~1.8e-4 apart).
+# 5e-4 passes that floor with margin while still catching real defects,
+# which manifest at >=1e-3 (the round-2 VJP bug measured 36.7).
+TOL = 5e-4
 
 
 def _setup(n_planes, res, tex):
@@ -169,8 +175,25 @@ def run_fused(n_planes, res, tex):
         "vs_baseline": None,
         "allclose": bool(allclose),
         "bands_ok": bands_ok,
+        "fwd_max_rel_err": round(err_c / max(scale_c, 1e-12), 8),
         "fwd_grad_max_rel_err": round(err_g / max(scale_g, 1e-12), 8),
         "path": "fused_pallas_mxu",
+        **_roofline(best, n_planes, res, tex),
+    }
+
+
+def _roofline(seconds, n_planes, res, tex):
+    """Speed-of-light fraction of a measured fwd+bwd render (VERDICT r2 #2:
+    every round reports its attained fraction)."""
+    from gmpi_tpu.utils.roofline import attained, render_cost
+
+    cost = render_cost(1, n_planes, res, res, tex, tex, backward=True,
+                       patch_overread=1.0)
+    a = attained(seconds, cost)
+    return {
+        "sol_fraction": round(a["sol_fraction"], 4),
+        "attained_gbps": round(a["attained_gbps"], 1),
+        "sol_bound": a["bound"],
     }
 
 
@@ -197,17 +220,41 @@ def run_xla(n_planes, res, tex, plane_chunk):
     def loss(x):
         out = render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir,
                                  plane_chunk=plane_chunk, tiled_bands=bands)
-        return jnp.sum(out.color * cot)
+        return jnp.sum(out.color * cot), out.color
 
-    best = _time_grad(jax.grad(loss), rgba)
+    best = _time_grad(jax.grad(lambda x: loss(x)[0]), rgba)
+
+    # full-scale fwd+grad allclose vs the portable gather oracle — the
+    # fallback path gets the same gate strength as the fused one (VERDICT r2
+    # #8: the headline number is never softer-gated than the path it
+    # replaced).  Gather needs small plane chunks (index temps).
+    def oracle(x):
+        out = render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir,
+                                 plane_chunk=min(4, n_planes))
+        return jnp.sum(out.color * cot), out.color
+
+    c_m = jax.jit(lambda x: loss(x)[1])(rgba)
+    c_o = jax.jit(lambda x: oracle(x)[1])(rgba)
+    g_m = jax.jit(jax.grad(lambda x: loss(x)[0]))(rgba)
+    g_o = jax.jit(jax.grad(lambda x: oracle(x)[0]))(rgba)
+    scale_c = float(jnp.max(jnp.abs(c_o)))
+    scale_g = float(jnp.max(jnp.abs(g_o)))
+    err_c = float(jnp.max(jnp.abs(c_m - c_o)))
+    err_g = float(jnp.max(jnp.abs(g_m - g_o)))
+    allclose = err_c <= TOL * max(scale_c, 1.0) and err_g <= TOL * max(scale_g, 1.0)
+
     mpix = (res * res) / 1e6 / best
     return {
         "metric": f"renderer fwd+bwd Mpixels/s/chip ({n_planes} planes, {res}^2)",
         "value": round(mpix, 3),
         "unit": "Mpixels/s/chip",
         "vs_baseline": None,
+        "allclose": bool(allclose),
         "bands_ok": bands_ok,
+        "fwd_max_rel_err": round(err_c / max(scale_c, 1e-12), 8),
+        "fwd_grad_max_rel_err": round(err_g / max(scale_g, 1e-12), 8),
         "path": "xla_tiled",
+        **_roofline(best, n_planes, res, tex),
     }
 
 

@@ -135,11 +135,16 @@ def fused_detail(args):
     L, R = args.planes, args.res
     # Mosaic lowers only DEFAULT and HIGHEST dot precisions inside Pallas
     # kernels (HIGH raises NotImplementedError on device); "high" stays as a
-    # CLI alias for interpret-mode experiments but maps to HIGHEST on TPU
-    on_tpu = jax.default_backend() not in ("cpu",)
+    # CLI alias for interpret-mode experiments but is promoted to HIGHEST on
+    # the TPU backend specifically (other backends lower HIGH fine)
+    on_tpu = jax.default_backend() == "tpu" or any(
+        d.platform == "tpu" for d in jax.devices())
     prec = {"default": _lax.Precision.DEFAULT,
             "high": _lax.Precision.HIGHEST if on_tpu else _lax.Precision.HIGH,
             "highest": _lax.Precision.HIGHEST}[args.precision]
+    if args.precision == "high" and on_tpu:
+        print("note: precision 'high' promoted to HIGHEST on the TPU backend "
+              "(Mosaic lowers only DEFAULT/HIGHEST); measurements are HIGHEST")
     geom = geom_mod.build_plane_geometry(
         n_planes=L, min_d=0.95, max_d=1.12, distance_sample_method="inverse",
         fov_deg=12.6, sphere_center_z=1.0, sphere_r=1.0,

@@ -745,7 +745,9 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
     pixel strips splat ``d_win[(c,r), x] = sum_p hat_y[r,p] g[c,p] hat_x[x,p]``
     (one MXU contraction over the 1024 subtile pixels) into a spill-carried
     texture-row accumulator.  Same hats, same bases, same clamps as the
-    forward — the VJP is exact up to fp32/bf16x3 reassociation."""
+    forward — with ``precision=HIGHEST`` (fp32, the parity mode) the VJP is
+    exact up to fp32 reassociation; the bf16 fast mode pairs DEFAULT with a
+    bf16 ``compute_dtype`` forward (Mosaic lowers no HIGH/bf16x3 on TPU)."""
     d_y, b_xp = bands.d_y, bands.b_x
     n_ps, n_blocks = splat.n_ps, splat.n_blocks
     rw = STRIP + d_y
@@ -1192,7 +1194,11 @@ def _adj_kernel(base_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
         cj = jnp.floor(jnp.min(diff)).astype(jnp.int32) - 1
         shift = tc * LANES + cj - s0
         # negative dynamic rolls miscompile on v5e Mosaic — use the cyclic
-        # non-negative equivalent (shift is bounded by +/- win_src here)
+        # non-negative equivalent.  The double rem normalizes ARBITRARY shift
+        # magnitudes: an all-masked tile derives cj from the 1e9 sentinel so
+        # shift can be ~1e9 (its hats are all zero, any roll is harmless) —
+        # do not "simplify" to a single rem or a win_src-shift form, that
+        # reintroduces the negative-roll miscompile for sentinel tiles
         wshift = lax.rem(lax.rem(-shift, win_src) + win_src, win_src)
         wg = pltpu.roll(gs, wshift, 2)[:, :, :win_v]
         wfx = pltpu.roll(fxs, wshift, 1)[:, :win_v]
@@ -1313,6 +1319,14 @@ def composite_bwd(warped, delta, g_color, g_depth, g_trans, eps: float = EPS):
     t_incl = jnp.cumprod(one_m, axis=1)
     t_excl = jnp.concatenate(
         [jnp.ones_like(t_incl[:, :1]), t_incl[:, :-1]], axis=1)  # T_l
+    # optimization_barrier: XLA:TPU miscompiles the fused
+    # cumprod -> mul -> flipped-cumsum -> div chain at production shapes
+    # (far-plane d_alpha off by ~1e34 vs the same graph split in two, vs
+    # TPU eager, and vs CPU — minimal repro in tools/probe_chain.py; a
+    # barrier on t_excl or on u independently fixes it, mid-chain barriers
+    # do not).  Keep BOTH barriers so a fusion-boundary shift can't
+    # silently re-trigger the defect.
+    t_excl = lax.optimization_barrier(t_excl)
     w = alpha * t_excl
 
     e = jnp.einsum("vchw,vlchw->vlhw", g_color, rgb)
@@ -1328,7 +1342,7 @@ def composite_bwd(warped, delta, g_color, g_depth, g_trans, eps: float = EPS):
     u_rev = jnp.cumsum(
         jnp.concatenate([jnp.zeros_like(we_rev[:, :1]), we_rev[:, :-1]],
                         axis=1), axis=1)
-    u = jnp.flip(u_rev, 1)
+    u = lax.optimization_barrier(jnp.flip(u_rev, 1))  # see barrier note above
 
     d_alpha = t_excl * e - u / one_m
     if g_trans is not None:

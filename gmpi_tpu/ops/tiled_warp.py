@@ -140,10 +140,19 @@ def _warp_row_tiles(texf, fx_row, fy_row, band_y, band_x, pad_y, pad_x, h, w, c,
         hat_x = hat_x.astype(compute_dtype)
         hat_y = hat_y.astype(compute_dtype)
         pm = pm.astype(compute_dtype)
+    # precision must be explicit: TPU DEFAULT truncates fp32 MXU operands to
+    # bf16 (~5e-3 rel error at production scale — the round-2 "oracle" bug;
+    # CPU tests never see it).  fp32 parity needs HIGHEST; the bf16 fast mode
+    # opts in via compute_dtype + DEFAULT.
+    mxu_prec = (lax.Precision.DEFAULT if compute_dtype is not None
+                else lax.Precision.HIGHEST)
     mixed = jnp.einsum("...px,...xm->...pm", hat_x, pm,
+                       precision=mxu_prec,
                        preferred_element_type=jnp.float32)  # [N, ntx, P, B_y*C]
     mixed = mixed.reshape(n, ntx, p_tile, band_y, c)
-    return jnp.einsum("...py,...pyc->...pc", hat_y.astype(mixed.dtype), mixed)  # [N, ntx, P, C]
+    return jnp.einsum("...py,...pyc->...pc", hat_y.astype(mixed.dtype), mixed,
+                      precision=mxu_prec,
+                      preferred_element_type=jnp.float32)  # [N, ntx, P, C]
 
 
 def grid_sample_tiled(

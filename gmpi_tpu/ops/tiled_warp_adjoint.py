@@ -143,7 +143,11 @@ def grid_sample_tiled_adjoint(
         m_x = jnp.maximum(0.0, 1.0 - jnp.abs(fx_f - txs))  # [P, tc]
         cot_f = cot_b.reshape(c, p)
         wmat = (m_y[:, :, None] * cot_f.T[:, None, :]).reshape(p, tr * c)  # [P, tr*C]
-        d = jnp.einsum("pm,px->mx", wmat, m_x)  # [tr*C, tc]
+        # HIGHEST: TPU DEFAULT truncates fp32 MXU operands to bf16 (adjoint
+        # must match the forward warp's exact-fp32 contraction)
+        d = jnp.einsum("pm,px->mx", wmat, m_x,
+                       precision=lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)  # [tr*C, tc]
         return d.reshape(tr, c, tc).transpose(1, 0, 2)  # [C, tr, tc]
 
     # vmap over column tiles, then row tiles (optionally scanned), then batch
