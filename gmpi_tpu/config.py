@@ -57,6 +57,11 @@ class TrainHparams:
     w_dim: int = 512
     n_view_per_z: int = 4
     select_worst_view: bool = True
+    # worst-view selection renders its no-grad candidate views at this
+    # resolution (bilinearly upsampled before D scoring); 0 = full img_size.
+    # The selection phase measured 42% of step time at full res — candidates
+    # only need enough detail to *rank* views per z (``docs/DESIGN.md``)
+    worst_view_render_res: int = 0
     g_iters: int = 1  # G updates per D update (``configs/gmpi.yml:66``)
     train_d: bool = True  # ``configs/gmpi.yml:61`` D_train
     ema_decay: float = 0.999
@@ -78,6 +83,17 @@ class TrainHparams:
     # plane-chunked rendering inside the train step (memory relief at 1024²;
     # None = unchunked)
     renderer_plane_chunk: Optional[int] = None
+    # D-phase micro-batching: generate the no-grad fake batch in
+    # ``batch_split`` slices (the reference splits exactly this,
+    # ``gmpi/train.py:503-518``) — bounds the live plane-stack memory at
+    # 1024²/96 planes.  False mirrors round-2 behavior (full batch at once)
+    d_batch_split: bool = True
+    # rematerialize D activations inside the R1 grad-of-grad (memory relief
+    # for the 1024² double-backprop; trades one extra D forward per step)
+    r1_remat: bool = False
+    # NaN-poison rendered colors when a ray exits the last plane
+    # (``gmpi/core/mpi.py:381-395`` runtime analogue); on in tests/smoke
+    debug_ray_check: bool = False
     # fused Pallas warp+composite renderer in the train step (TPU fast path;
     # bands planned over the truncated pose range at setup)
     use_fused_renderer: bool = False

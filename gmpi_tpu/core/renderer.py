@@ -460,6 +460,47 @@ def render_mpi_fused(
     return RenderOutput(color=color, depth=depth)
 
 
+def ray_coverage_ok(
+    dhw_last: jnp.ndarray,
+    eye_pos: jnp.ndarray,
+    ray_dir: jnp.ndarray,
+    z_dir: jnp.ndarray,
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """Jittable per-batch validity of the in-render ray-coverage invariant:
+    True iff every ray of every view intersects the *last* plane inside its
+    extent (``gmpi/core/mpi.py:381-395`` checks this on every forward).
+
+    dhw_last [3] (or [V, 3]), eye_pos/z_dir [V, 3], ray_dir [V, 3, H, W].
+    """
+    v = ray_dir.shape[0]
+    dl = jnp.asarray(dhw_last, jnp.float32)
+    if dl.ndim == 1:
+        dl = jnp.broadcast_to(dl[None], (v, 3))
+    grid, _ = homography_grid(
+        dl, eye_pos.astype(jnp.float32), ray_dir.astype(jnp.float32),
+        z_dir.astype(jnp.float32), align_corners)
+    return jnp.all(jnp.abs(grid) <= 1.0)
+
+
+def poison_if_rays_escape(
+    color: jnp.ndarray,
+    dhw_last: jnp.ndarray,
+    eye_pos: jnp.ndarray,
+    ray_dir: jnp.ndarray,
+    z_dir: jnp.ndarray,
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """Debug-mode runtime analogue of ``assert_not_out_of_last_plane``
+    (``gmpi/core/mpi.py:103-128, 381-395``): NaN-poison the rendered color
+    when any ray exits the last plane's extent, so a bad (pose, volume)
+    combination surfaces loudly at the consumer instead of silently
+    compositing zeros-padding.  Jit-safe (no host callback); enable in tests,
+    smoke runs, and via ``TrainHparams.debug_ray_check``."""
+    ok = ray_coverage_ok(dhw_last, eye_pos, ray_dir, z_dir, align_corners)
+    return jnp.where(ok, color, jnp.float32(jnp.nan))
+
+
 def check_rays_hit_last_plane(
     dhw_last: jnp.ndarray,
     eye_pos: jnp.ndarray,

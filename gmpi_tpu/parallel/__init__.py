@@ -1,6 +1,7 @@
 from gmpi_tpu.parallel.mesh import data_sharding, make_mesh, replicate, replicated, shard_batch
 from gmpi_tpu.parallel.render import (
     render_mpi_plane_sharded,
+    render_mpi_plane_sharded_pipelined,
     render_mpi_plane_tile_sharded,
     render_mpi_tile_sharded,
 )
@@ -9,6 +10,7 @@ __all__ = [
     "data_sharding",
     "make_mesh",
     "render_mpi_plane_sharded",
+    "render_mpi_plane_sharded_pipelined",
     "render_mpi_plane_tile_sharded",
     "render_mpi_tile_sharded",
     "replicate",

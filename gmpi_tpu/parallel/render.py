@@ -177,6 +177,93 @@ def render_mpi_plane_sharded(
     return RenderOutput(color=color, depth=depth)
 
 
+def render_mpi_plane_sharded_pipelined(
+    mesh: Mesh,
+    rgba: jnp.ndarray,  # [V, L, 4, Th, Tw]  (global plane order, front first)
+    dhw: jnp.ndarray,  # [L, 3]
+    ray_dir: jnp.ndarray,  # [V, 3, H, W]
+    eye_pos: jnp.ndarray,
+    z_dir: jnp.ndarray,
+    n_sub: int = 2,
+    axis: str = "plane",
+    align_corners: bool = True,
+    tiled_bands=None,
+    slab_fn=None,
+) -> RenderOutput:
+    """Plane-sharded render with the cross-chip combine *pipelined* against
+    the warp (``docs/SCALING.md``; VERDICT r2 #6).
+
+    The global plane axis is split into ``n_sub`` front-to-back *super-slabs*,
+    each sharded over the ``axis`` chips, so every chip warps a piece of every
+    super-slab.  Per super-slab k the chips butterfly-combine their partials
+    (``ordered_allcombine``) — and because super-slab k+1's warp has no data
+    dependency on super-slab k's exchange, XLA's async collectives overlap
+    the ICI hop of slab k with the warp compute of slab k+1 (double-buffered
+    ``lax.scan`` carry holding the not-yet-combined partial).
+
+    Trade-off vs :func:`render_mpi_plane_sharded`: the exchanged partials are
+    full-image ``(color, depth, T)`` regardless of slab size, so total ICI
+    volume grows by ``n_sub`` x — pipelining pays when one super-slab's warp
+    time exceeds one butterfly (warp is O(L/n/n_sub) planes of texture work;
+    the butterfly is O(log n) image-sized hops).  Exact: over-compositing is
+    associative over contiguous slabs, and the (super-slab, chip, local-plane)
+    order below is exactly the global front-to-back plane order.
+    """
+    n_shards = mesh.shape[axis]
+    v, l_planes = rgba.shape[0], rgba.shape[1]
+    h, w = ray_dir.shape[2], ray_dir.shape[3]
+    assert l_planes % (n_shards * n_sub) == 0, (l_planes, n_shards, n_sub)
+    c = l_planes // (n_shards * n_sub)
+
+    # global plane g = k*(n*c) + i*c + j  ->  chip i, super-slab k, local j:
+    # reshape [L] -> [S, N, c], move N outermost so shard_map can split it
+    rgba_r = rgba.reshape(v, n_sub, n_shards, c, *rgba.shape[2:]).swapaxes(1, 2)
+    dhw_r = dhw.reshape(n_sub, n_shards, c, 3).swapaxes(0, 1)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def _render(rgba_loc, dhw_loc, ray_dir_, eye_, zdir_):
+        # rgba_loc [V, 1, S, c, 4, Th, Tw]; scan over the S super-slabs
+        rgba_s = rgba_loc[:, 0].swapaxes(0, 1)       # [S, V, c, 4, Th, Tw]
+        dhw_s = dhw_loc[0]                           # [S, c, 3]
+
+        def sub_partial(rgba_k, dhw_k):
+            if slab_fn is not None:
+                return slab_fn(rgba_k, dhw_k, ray_dir_, eye_, zdir_)
+            slab_dhw = jnp.broadcast_to(dhw_k[None], (v, c, 3))
+            return render_slab_partial(rgba_k, slab_dhw, ray_dir_, eye_, zdir_,
+                                       align_corners, tiled_bands=tiled_bands)
+
+        init_acc = (
+            jnp.zeros((v, 3, h, w), jnp.float32),
+            jnp.zeros((v, 1, h, w), jnp.float32),
+            jnp.ones((v, 1, h, w), jnp.float32),
+        )
+        pending0 = sub_partial(rgba_s[0], dhw_s[0])  # prologue: warp slab 0
+
+        def body(carry, xs):
+            acc, pending = carry
+            rgba_k, dhw_k = xs
+            # the two lines below are data-independent: the warp of slab k
+            # can run while slab k-1's butterfly is on the wire
+            part_k = sub_partial(rgba_k, dhw_k)
+            combined = ordered_allcombine(pending, axis)
+            return (combine_segments(acc, combined), part_k), None
+
+        (acc, pending), _ = lax.scan(body, (init_acc, pending0),
+                                     (rgba_s[1:], dhw_s[1:]))
+        color, depth, _ = combine_segments(acc, ordered_allcombine(pending, axis))
+        return color, depth
+
+    color, depth = _render(rgba_r, dhw_r, ray_dir, eye_pos, z_dir)
+    return RenderOutput(color=color, depth=depth)
+
+
 def render_mpi_plane_tile_sharded(
     mesh: Mesh,
     rgba: jnp.ndarray,

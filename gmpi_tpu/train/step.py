@@ -162,26 +162,46 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
                         jnp.clip(step - t.lighting_start_iter, 0, None), rng)
         return jnp.where(step > t.lighting_start_iter, lit, mpi)
 
-    def render_views(mpi, yaws, pitches, with_depth=False):
-        """Render each MPI into its camera; returns imgs in [-1,1] + flat pose."""
+    def render_views(mpi, yaws, pitches, with_depth=False, low_res=0):
+        """Render each MPI into its camera; returns imgs in [-1,1] + flat pose.
+
+        ``low_res > 0``: render at that resolution through the portable
+        gather path and bilinearly upsample to ``img_size`` — the cheap
+        no-grad mode of worst-view selection (candidates only need to be
+        *rankable* by D, not crisp)."""
         c2w, _, _ = poses_mod.sample_sphere_poses(
             None, mpi.shape[0], cfg.camera, given_yaws=yaws, given_pitches=pitches
         )
-        ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
-        if fused_plans is not None:
-            from gmpi_tpu.core.renderer import render_mpi_fused
-
-            out = render_mpi_fused(mpi, geom.dhw, ray_dir, eye, z_dir, fused_plans)
-        elif t.renderer_plane_chunk:
-            out = render_mpi_chunked(
-                mpi, geom.dhw, ray_dir, eye, z_dir,
-                plane_chunk=t.renderer_plane_chunk,
-                align_corners=align_corners, tiled_bands=tiled_bands,
-            )
+        if low_res:
+            intr_lo = cam.intrinsics_from_fov(cfg.fov_deg, low_res, low_res)
+            ray_dir, eye, z_dir = cam.generate_rays(intr_lo, c2w)
+            out = render_mpi(mpi, geom.dhw, ray_dir, eye, z_dir, align_corners)
         else:
-            out = render_mpi(mpi, geom.dhw, ray_dir, eye, z_dir, align_corners,
-                             tiled_bands=tiled_bands)
-        imgs = out.color * 2.0 - 1.0  # ``mpi_renderer.py:467``
+            ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+            if fused_plans is not None:
+                from gmpi_tpu.core.renderer import render_mpi_fused
+
+                out = render_mpi_fused(mpi, geom.dhw, ray_dir, eye, z_dir, fused_plans)
+            elif t.renderer_plane_chunk:
+                out = render_mpi_chunked(
+                    mpi, geom.dhw, ray_dir, eye, z_dir,
+                    plane_chunk=t.renderer_plane_chunk,
+                    align_corners=align_corners, tiled_bands=tiled_bands,
+                )
+            else:
+                out = render_mpi(mpi, geom.dhw, ray_dir, eye, z_dir, align_corners,
+                                 tiled_bands=tiled_bands)
+        color = out.color
+        if t.debug_ray_check:
+            from gmpi_tpu.core.renderer import poison_if_rays_escape
+
+            color = poison_if_rays_escape(color, geom.dhw[-1], eye, ray_dir,
+                                          z_dir, align_corners)
+        if low_res:
+            color = jax.image.resize(
+                color, (*color.shape[:2], cfg.hparams.img_size, cfg.hparams.img_size),
+                method="bilinear")
+        imgs = color * 2.0 - 1.0  # ``mpi_renderer.py:467``
         flat_pose = flat_pose_from_c2w(c2w, t.d_cond_pose_dim) if t.d_cond_on_pose else None
         if with_depth:
             return imgs, flat_pose, out.depth
@@ -200,17 +220,39 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
         rng_z, rng_noise, rng_light, rng_pose = jax.random.split(rng, 4)
         bs = real_imgs.shape[0]
         z = jax.random.normal(rng_z, (bs, t.z_dim), jnp.float32)
-        mpi = synth(state.params_g, state.buffers_g, z, rng_noise, stop_all_grad=True)
-        mpi = maybe_light(mpi, state.step, rng_light)
         yaws, pitches = sample_views(rng_pose, bs)
-        fake_imgs, fake_pose = render_views(mpi, yaws, pitches)
-        fake_imgs = jax.lax.stop_gradient(fake_imgs)
+
+        # fake generation is no-grad; micro-batching it bounds the live
+        # plane-stack memory exactly as the reference's D-phase batch_split
+        # does (``gmpi/train.py:503-518``).  Identical math either way —
+        # each z's MPI/render is independent.
+        d_split = batch_split if (t.d_batch_split and bs % batch_split == 0) else 1
+        mbs_d = bs // d_split
+        fake_parts, pose_parts = [], []
+        noise_keys = jax.random.split(rng_noise, d_split)
+        light_keys = jax.random.split(rng_light, d_split)
+        for s in range(d_split):
+            sl = slice(s * mbs_d, (s + 1) * mbs_d)
+            mpi = synth(state.params_g, state.buffers_g, z[sl], noise_keys[s],
+                        stop_all_grad=True)
+            mpi = maybe_light(mpi, state.step, light_keys[s])
+            fi, fp = render_views(mpi, yaws[sl], pitches[sl])
+            fake_parts.append(fi)
+            pose_parts.append(fp)
+        fake_imgs = jax.lax.stop_gradient(jnp.concatenate(fake_parts, axis=0))
+        fake_pose = (None if pose_parts[0] is None
+                     else jnp.concatenate(pose_parts, axis=0))
+
+        # R1 differentiates D twice w.r.t. the real images; rematerializing
+        # D's activations inside that grad halves the double-backprop's live
+        # memory at 1024² for one extra D forward
+        d_for_r1 = jax.checkpoint(d_apply) if t.r1_remat else d_apply
 
         def d_loss_fn(params_d):
             r_scores = d_apply(params_d, real_imgs, real_pose)
             f_scores = d_apply(params_d, fake_imgs, fake_pose)
             loss_real, loss_fake = d_gan_loss(r_scores, f_scores)
-            r1 = r1_penalty(lambda im: d_apply(params_d, im, real_pose), real_imgs, t.r1_lambda)
+            r1 = r1_penalty(lambda im: d_for_r1(params_d, im, real_pose), real_imgs, t.r1_lambda)
             return loss_real + loss_fake + r1, (loss_real, loss_fake, r1)
 
         (d_loss, (loss_real, loss_fake, r1)), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.params_d)
@@ -232,7 +274,8 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
         mpi = synth(state.params_g, state.buffers_g, z, rng_noise, stop_all_grad=True)
         mpi_rep = jnp.repeat(mpi, v, axis=0)  # z-major: [z0v0, z0v1, ...]
         yaws, pitches = sample_views(rng_pose, bs * v)
-        imgs, flat_pose = render_views(mpi_rep, yaws, pitches)
+        imgs, flat_pose = render_views(mpi_rep, yaws, pitches,
+                                       low_res=t.worst_view_render_res)
         scores = d_apply(state.params_d, imgs, flat_pose).reshape(bs, v)
         idx = jnp.argmin(scores, axis=1)  # lowest D score = hardest view
         sel = idx + jnp.arange(bs) * v

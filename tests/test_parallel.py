@@ -184,3 +184,46 @@ def test_plane_sharded_fused_slab_matches_and_grads():
     err = float(jnp.max(jnp.abs(g_ref - g_got)))
     scale = float(jnp.max(jnp.abs(g_ref)))
     assert err / scale < 1e-4, (err, scale)
+
+
+def test_plane_sharded_pipelined_matches_and_grads():
+    """The pipelined plane-shard combine (VERDICT r2 #6) is the same function
+    as the single-device renderer: forward and texture gradients match on the
+    8-device CPU mesh, for several sub-slab depths."""
+    from gmpi_tpu.parallel.render import render_mpi_plane_sharded_pipelined
+
+    geom = geom_mod.build_plane_geometry(
+        n_planes=16, min_d=0.95, max_d=1.12, distance_sample_method="inverse",
+        enlarge_factor=1.001, confined=True, **FFHQ_CAM,
+    )
+    rng = np.random.default_rng(0)
+    rgba = jnp.asarray(rng.random((2, 16, 4, 32, 32)).astype(np.float32))
+    yaws = jnp.asarray([[-0.2], [0.2]], jnp.float32)
+    pitches = jnp.asarray([[0.1], [-0.1]], jnp.float32)
+    c2w = poses_mod.c2w_from_yaw_pitch(yaws, pitches, 1.0, 1.0)
+    intr = cam.intrinsics_from_fov(12.6, 32, 32)
+    ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+    ref = render_mpi(rgba, geom.dhw, ray_dir, eye, z_dir)
+    cot = jnp.asarray(rng.standard_normal((2, 3, 32, 32)).astype(np.float32))
+
+    def loss_ref(x):
+        return jnp.sum(render_mpi(x, geom.dhw, ray_dir, eye, z_dir).color * cot)
+
+    g_ref = jax.grad(loss_ref)(rgba)
+
+    mesh = make_mesh([8], ("plane",))
+    for n_sub in (1, 2):
+        out = jax.jit(lambda x: render_mpi_plane_sharded_pipelined(
+            mesh, x, geom.dhw, ray_dir, eye, z_dir, n_sub=n_sub))(rgba)
+        np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
+                                   rtol=1e-5, atol=1e-6)
+
+        def loss_pipe(x, ns=n_sub):
+            return jnp.sum(render_mpi_plane_sharded_pipelined(
+                mesh, x, geom.dhw, ray_dir, eye, z_dir, n_sub=ns).color * cot)
+
+        g_pipe = jax.jit(jax.grad(loss_pipe))(rgba)
+        np.testing.assert_allclose(np.asarray(g_pipe), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-4)

@@ -255,3 +255,25 @@ def test_chunked_per_chunk_bands_matches_full():
     g = jax.grad(loss)(jnp.asarray(rgba))
     g_ref = jax.grad(loss_ref)(jnp.asarray(rgba))
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_poison_if_rays_escape():
+    """Runtime ray-coverage check (``gmpi/core/mpi.py:381-395`` analogue):
+    passes through on a fitted volume, NaN-poisons when the camera yaw leaves
+    the truncated range the volume was fitted for."""
+    from gmpi_tpu.core.renderer import poison_if_rays_escape, ray_coverage_ok
+
+    geom, rgba, ray_dir, eye, z_dir = build_fixture()
+    color = jnp.zeros((ray_dir.shape[0], 3, 48, 48), jnp.float32)
+    ok_col = jax.jit(poison_if_rays_escape)(color, geom.dhw[-1], eye, ray_dir, z_dir)
+    assert bool(jnp.all(jnp.isfinite(ok_col)))
+    assert bool(jax.jit(ray_coverage_ok)(geom.dhw[-1], eye, ray_dir, z_dir))
+
+    # a yaw far outside the fitted +/-2 sigma range misses the last plane
+    c2w_bad = poses_mod.c2w_from_yaw_pitch(
+        jnp.asarray([[1.2]]), jnp.asarray([[0.0]]), 1.0, 1.0)
+    intr = cam.intrinsics_from_fov(12.6, 48, 48)
+    rd_b, eye_b, zd_b = cam.generate_rays(intr, c2w_bad)
+    bad_col = jax.jit(poison_if_rays_escape)(
+        color[:1], geom.dhw[-1], eye_b, rd_b, zd_b)
+    assert bool(jnp.all(jnp.isnan(bad_col)))
