@@ -29,8 +29,10 @@ def main():
     ap.add_argument("--trace_dir", default=None, help="write a jax.profiler trace here")
     ap.add_argument("--fused", action="store_true",
                     help="benchmark the fused Pallas MXU path (component split)")
-    ap.add_argument("--precision", default="high", choices=["default", "high", "highest"],
-                    help="MXU precision of the fused path (default = bf16x1 fast mode)")
+    ap.add_argument("--precision", default="high",
+                    choices=["default", "high", "highest", "bf16x3"],
+                    help="MXU precision of the fused path (default = bf16x1 "
+                         "fast mode; bf16x3 = manual split-operand HIGH)")
     ap.add_argument("--no_early_out", action="store_true")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 texture/hat operands, fp32 accumulation")
@@ -141,7 +143,8 @@ def fused_detail(args):
         d.platform == "tpu" for d in jax.devices())
     prec = {"default": _lax.Precision.DEFAULT,
             "high": _lax.Precision.HIGHEST if on_tpu else _lax.Precision.HIGH,
-            "highest": _lax.Precision.HIGHEST}[args.precision]
+            "highest": _lax.Precision.HIGHEST,
+            "bf16x3": "bf16x3"}[args.precision]
     if args.precision == "high" and on_tpu:
         print("note: precision 'high' promoted to HIGHEST on the TPU backend "
               "(Mosaic lowers only DEFAULT/HIGHEST); measurements are HIGHEST")
@@ -215,9 +218,27 @@ def fused_detail(args):
     ctx = jax.profiler.trace(args.trace_dir) if args.trace_dir else None
     if ctx:
         ctx.__enter__()
+    # splat (backward warp-transpose kernel chain) alone, on a synthetic
+    # cotangent stack — isolates the dominant backward cost
+    from gmpi_tpu.ops.pallas_warp import STRIP, warp_splat
+
+    d_samp6 = warped_f.reshape(1, L, 4, R // STRIP, -1, 128)
+    rxf = flatten_pixels(rxs)
+    ryf = flatten_pixels(rys)
+
+    def splat_only(d6):
+        parts = []
+        for (lo, hi, bands), spl in zip(plan, splat_plan):
+            parts.append(warp_splat(d6[:, lo:hi], rxf, ryf, rys, scal[:, lo:hi],
+                                    bands, spl, R, R, precision=prec))
+        return jnp.concatenate(parts, axis=1)
+
+    splat_jit = jax.jit(splat_only)
+
     t_fwd = timed(fwd_nores, rgba, name="fused fwd (no residual read)")
     timed(fwd_res, rgba, name="fused fwd (+warped residual)")
     timed(comp_jit, warped_f, gc, qf, scal, name="composite_bwd alone (XLA)")
+    timed(splat_jit, d_samp6, name="splat (bwd warp) alone")
     t_fb = timed(grad, rgba, name="fused fwd+bwd")
     if ctx:
         ctx.__exit__(None, None, None)

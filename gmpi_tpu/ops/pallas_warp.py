@@ -67,6 +67,51 @@ SUBW = 64          # pixel lanes per MXU subtile (16 rows x 64 cols)
 WIN_SUB = 384      # static texture-lane window per subtile before rebasing
 
 
+def win_rows(rw: int) -> int:
+    """Window rows sliced per subtile: the slice start is 8-aligned (sublane
+    granularity) and the diagonal base lands at row rem in [0, 8), so the
+    window must hold rw + 7 rows, rounded to sublanes.  The y-hats are built
+    against the ALIGNED base — rows outside [rem, rem+rw) have structurally
+    zero hats — which removes the dynamic sublane roll entirely (one fewer
+    [4, rwp, win] VPU pass per subtile, and 4*rwp stays within one 128-row
+    MXU tile for rw <= 25)."""
+    return ((rw + 7 + 7) // 8) * 8
+
+
+def _dot_bf16x3(a, b, dims, k_axes=None):
+    """fp32-faithful matmul from DEFAULT-precision bf16 contractions.
+
+    Splits both operands ``x = hi + lo`` (hi = bf16(x), lo = bf16(x - hi)) and
+    computes ``hi.hi + lo.hi + hi.lo`` (the dropped lo.lo term is <= 2^-18
+    relative) — the HIGH/bf16x3 mode Mosaic does not lower on TPU, expressed
+    manually from DEFAULT dots.
+
+    ``k_axes=(a_k, b_k)``: contract the K-concatenation ``[a_hi | a_lo |
+    a_hi] . [b_hi | b_hi | b_lo]`` in ONE matmul — the adds stay in the MXU's
+    fp32 accumulator and K-padding to 128 often absorbs the 3x (K=72 ->
+    216 -> 2 K-tiles vs HIGHEST's 6 passes).  Pays when K is far below a
+    128-lane tile.  ``k_axes=None``: three separate dots summed on the VPU —
+    cheaper when K is already tile-aligned and large (the concatenated
+    operands would cost more VPU copies than the [M, N] output adds, e.g. the
+    splat's K=1024 pixel contraction).
+    """
+    f32 = jnp.float32
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(f32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(f32)).astype(jnp.bfloat16)
+    if k_axes is None:
+        d = lambda x, y: lax.dot_general(
+            x, y, dims, precision=lax.Precision.DEFAULT,
+            preferred_element_type=f32)
+        return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
+    a_cat = jnp.concatenate([a_hi, a_lo, a_hi], axis=k_axes[0])
+    b_cat = jnp.concatenate([b_hi, b_hi, b_lo], axis=k_axes[1])
+    return lax.dot_general(a_cat, b_cat, dims,
+                           precision=lax.Precision.DEFAULT,
+                           preferred_element_type=f32)
+
+
 def plane_affine(dhw, eye_pos, tex_h, tex_w):
     """Per-plane affine coefficients of the homography texel coords.
 
@@ -165,7 +210,7 @@ def _bands_from_spans(span_x, span_y, span_y_strip, span_x_abs,
     # the kernel slices rwp = round8(16 + d_y + 8) rows and clips the window
     # start to [0, by_pad - rwp]; size by_pad so the clip never binds
     rw = STRIP + d_y
-    rwp = ((rw + 8 + 7) // 8) * 8
+    rwp = win_rows(rw)
     by_pad = STRIP + int(np.ceil(max(span_y_strip))) + 3 + margin + (rwp - rw) + 16
     by_pad = max(by_pad, rwp + 8)
     by_pad = ((by_pad + 7) // 8) * 8
@@ -255,7 +300,7 @@ def fused_bands_ok(scal, rx, ry, plan) -> jnp.ndarray:
 
     def plane_ok(s, bands: FusedBands):
         rw = STRIP + bands.d_y
-        rwp = ((rw + 8 + 7) // 8) * 8
+        rwp = win_rows(rw)
         fx = s[0] * rx5 + s[1]
         fy = s[2] * ry5 + s[3]
         fx_m = jnp.where(fx < -1.0, jnp.inf, fx)
@@ -366,7 +411,7 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
         warped_ref = None
     d_y, by_pad, b_xp = bands.d_y, bands.by_pad, bands.b_x
     rw = STRIP + d_y
-    rwp = ((rw + 8 + 7) // 8) * 8   # sublane rolls need 8-aligned shapes
+    rwp = win_rows(rw)   # 8-aligned window start + rem<8 slack (no roll)
     wp = tex_ref.shape[3]
     win_w = min(WIN_SUB, wp)
     # the 128-aligned rebase leaves shift < 192 when the window start is
@@ -442,17 +487,16 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
             cx = jnp.clip(cx, -2, wp - PAD - b_xp)
             ryb = jnp.floor(jnp.min(fy_m - i_blk)).astype(jnp.int32) - 1
             ry2 = jnp.clip(ryb + PADY_TOP - y0, 0, by_pad - rwp)
-            row0 = pl.multiple_of(slot * by_pad + (ry2 // 8) * 8, 8)
-            rem = ry2 - (ry2 // 8) * 8
+            base8 = (ry2 // 8) * 8   # taps live at rows [ry2-base8, +rw) < rwp
+            row0 = pl.multiple_of(slot * by_pad + base8, 8)
             # 128-aligned dynamic window start tracking this plane's slope
             cxp = cx + PAD
             s0d = jnp.clip(((cxp - 64) // 128) * 128, 0, wp - win_w)
             s0d = pl.multiple_of(s0d, 128)
+            # no sublane roll: the y-hats are built against the 8-aligned
+            # window base (win_rows holds the rem<8 slack), so rows outside
+            # the tap band get structurally zero hats instead of a rotate
             win = buf[0, :, pl.ds(row0, rwp), pl.ds(s0d, win_w)]
-            # dynamic sublane rotates need a non-negative shift (negative
-            # shifts silently miscompile on v5e Mosaic); wrapped rows land at
-            # r >= rw where the y-hats are structurally zero
-            win = pltpu.roll(win, rwp - rem, 1)
             # lane rolls too: roll(-s) == roll(win_w - s) cyclically, and the
             # non-negative form is the one Mosaic compiles correctly on v5e
             shift = cxp - s0d
@@ -469,17 +513,26 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
                 hat_x = hat_x.astype(cd)
             # plain 2D matmul (3-D operands are a Mosaic lowering risk);
             # the [4*rwp, 1024] -> [4*rwp, 8, 128] split is layout-free
-            mixed = lax.dot_general(
-                a2, hat_x.reshape(b_xp, 8 * LANES), (((1,), (0,)), ((), ())),
-                precision=precision, preferred_element_type=f32)
+            if precision == "bf16x3":
+                mixed = _dot_bf16x3(
+                    a2, hat_x.reshape(b_xp, 8 * LANES),
+                    (((1,), (0,)), ((), ())), k_axes=(1, 0))
+            else:
+                mixed = lax.dot_general(
+                    a2, hat_x.reshape(b_xp, 8 * LANES), (((1,), (0,)), ((), ())),
+                    precision=precision, preferred_element_type=f32)
             mixed = mixed.reshape(4 * rwp, 8, LANES)
-            # mixed [4*rwp, 8, 128]: row c*rwp + r = window row r of channel c
-            fy_rel = fy - (y0 - PADY_TOP + ry2).astype(f32)
+            # mixed [4*rwp, 8, 128]: row c*rwp + r = window row r of channel c.
+            # fy_rel is relative to the 8-ALIGNED window base, so taps sit at
+            # rows [ry2-base8, +rw) — the contraction covers rw+7 rows and the
+            # hats zero out the ones outside the band
+            fy_rel = fy - (y0 - PADY_TOP + base8).astype(f32)
             hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(fy_rel[None] - iota_r))
+            rw_eff = min(rw + 7, rwp)
             chans = []
             for c in range(4):
                 acc = hat_y[0] * mixed[c * rwp]
-                for r in range(1, rw):
+                for r in range(1, rw_eff):
                     acc = acc + hat_y[r] * mixed[c * rwp + r]
                 chans.append(acc)
             parts.append(jnp.stack(chans, axis=0))          # [4, 8, 128]
@@ -751,7 +804,7 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
     d_y, b_xp = bands.d_y, bands.b_x
     n_ps, n_blocks = splat.n_ps, splat.n_blocks
     rw = STRIP + d_y
-    rwp = ((rw + 8 + 7) // 8) * 8
+    rwp = win_rows(rw)
     acc_r = BLK + rwp + 8
     w_add = 384
     f32 = jnp.float32
@@ -837,26 +890,35 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
             def _():
                 fx_rel = jnp.where(fx < -1.0, -1e9, fx - cx.astype(f32))
                 hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(fx_rel[None] - iota_x))
-                fy_rel = fy - ryb.astype(f32)
+                # y-hats relative to the 8-ALIGNED accumulator row base: the
+                # produced d_win rows land directly at acc rows
+                # [row8, row8+rwp) — no pad/roll pass (see win_rows)
+                row_rel = oyb - bi * BLK                    # [0, BLK)
+                row8 = (row_rel // 8) * 8
+                rem = row_rel - row8
+                fy_rel = fy - ryb.astype(f32) + rem.astype(f32)
                 hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(fy_rel[None] - iota_r))
                 t_parts = [hat_y * g[c][None] for c in range(4)]
                 t_all = jnp.concatenate(t_parts, axis=0)       # [4*rwp, 8, 128]
                 # plain 2D rhs-transposed matmul (multi-dim contractions are
                 # a Mosaic lowering risk): contract the 1024 subtile pixels
-                d_win = lax.dot_general(
-                    t_all.reshape(4 * rwp, 8 * LANES),
-                    hat_x.reshape(b_xp, 8 * LANES),
-                    (((1,), (1,)), ((), ())),
-                    precision=precision,
-                    preferred_element_type=f32)                 # [4*rwp, b_xp]
+                if precision == "bf16x3":
+                    # K = 1024 pixels is already tile-aligned: separate dots,
+                    # not the K-concat form (see _dot_bf16x3)
+                    d_win = _dot_bf16x3(
+                        t_all.reshape(4 * rwp, 8 * LANES),
+                        hat_x.reshape(b_xp, 8 * LANES),
+                        (((1,), (1,)), ((), ())))
+                else:
+                    d_win = lax.dot_general(
+                        t_all.reshape(4 * rwp, 8 * LANES),
+                        hat_x.reshape(b_xp, 8 * LANES),
+                        (((1,), (1,)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=f32)             # [4*rwp, b_xp]
                 d_win = d_win.reshape(4, rwp, b_xp)
-                # place at (row oyb - bi*BLK, lane cx + PAD) and RMW-add
-                row_rel = oyb - bi * BLK                        # [0, BLK)
-                row8 = (row_rel // 8) * 8
-                rem = row_rel - row8
-                d_pad = jnp.concatenate(
-                    [d_win, jnp.zeros((4, 8, b_xp), f32)], axis=1)
-                d_pad = pltpu.roll(d_pad, rem, 1)               # rows [rem, rem+rwp)
+                # rows already aligned (hats built vs row8) — place at
+                # (acc row row8, lane cx + PAD) and RMW-add
                 cxp = cx + PAD
                 lane0 = jnp.clip(((cxp - 64) // 128) * 128, 0, wp - w_add)
                 lane0 = pl.multiple_of(lane0, 128)
@@ -864,11 +926,11 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
                 # value-level .at[].set lowers to scatter (unsupported in
                 # Mosaic) — build the widened block with a concat instead
                 wide = jnp.concatenate(
-                    [d_pad, jnp.zeros((4, rwp + 8, w_add - b_xp), f32)],
+                    [d_win, jnp.zeros((4, rwp, w_add - b_xp), f32)],
                     axis=2)
                 wide = pltpu.roll(wide, lr, 2)
-                cur = acc[:, pl.ds(row8, rwp + 8), pl.ds(lane0, w_add)]
-                acc[:, pl.ds(row8, rwp + 8), pl.ds(lane0, w_add)] = cur + wide
+                cur = acc[:, pl.ds(row8, rwp), pl.ds(lane0, w_add)]
+                acc[:, pl.ds(row8, rwp), pl.ds(lane0, w_add)] = cur + wide
         return 0
 
     lax.fori_loop(0, n_ps, strip_body, 0)
@@ -900,7 +962,7 @@ def warp_splat(
     if wp < 512:
         wp = 1 << (wp - 1).bit_length()
     rw = STRIP + bands.d_y
-    rwp = ((rw + 8 + 7) // 8) * 8
+    rwp = win_rows(rw)
 
     g_flat = d_samp_flat.reshape(v * l_planes, 4, n_strips, r8, LANES)
     bases = splat_bases(scal, ry_rowmajor, tex_h, splat.n_ps, splat.n_blocks)
@@ -1337,12 +1399,12 @@ def composite_bwd(warped, delta, g_color, g_depth, g_trans, eps: float = EPS):
     # shifting BEFORE the cumsum: the inclusive-cumsum-minus-self trick
     # catastrophically cancels when a near-opaque plane makes the suffix
     # terms ~1e-10-scale next to an O(1) we_l — and the division by
-    # (1 - a + eps) below amplifies that loss to an O(1) gradient error
-    we_rev = jnp.flip(we, 1)
-    u_rev = jnp.cumsum(
-        jnp.concatenate([jnp.zeros_like(we_rev[:, :1]), we_rev[:, :-1]],
-                        axis=1), axis=1)
-    u = lax.optimization_barrier(jnp.flip(u_rev, 1))  # see barrier note above
+    # (1 - a + eps) below amplifies that loss to an O(1) gradient error.
+    # ``reverse=True`` cumsum instead of flip/cumsum/flip: two fewer
+    # full-stack materializations (~0.8 GB of HBM copies at 96x1024²)
+    we_shift = jnp.concatenate([we[:, 1:], jnp.zeros_like(we[:, :1])], axis=1)
+    u = lax.optimization_barrier(  # see barrier note above
+        lax.cumsum(we_shift, axis=1, reverse=True))
 
     d_alpha = t_excl * e - u / one_m
     if g_trans is not None:

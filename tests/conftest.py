@@ -12,12 +12,18 @@ start — env vars alone cannot override it, so we force the platform via
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# GMPI_TPU_TESTS=1 keeps the real accelerator visible for the on-chip tier
+# (``pytest -m tpu -n 0``, see tests/test_tpu_full_scale.py); everything else
+# runs on the virtual CPU mesh.
+_ON_CHIP = os.environ.get("GMPI_TPU_TESTS") == "1"
+if not _ON_CHIP:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_CHIP:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
