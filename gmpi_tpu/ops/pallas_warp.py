@@ -1413,6 +1413,127 @@ def composite_bwd(warped, delta, g_color, g_depth, g_trans, eps: float = EPS):
     return jnp.concatenate([d_rgb, d_alpha[:, :, None]], axis=2)
 
 
+def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
+                          out_ref, t_ref, *, L, eps, has_gd, has_gt):
+    """Per (view, pixel block): the composite backward as two in-register
+    plane passes — forward transmittance products into a [L, rows, 128]
+    scratch, then a back-to-front suffix accumulation emitting d_rgba.
+
+    Same math as :func:`composite_bwd` (the XLA oracle), with two bonuses: no
+    O(L)-pass XLA cumprod/cumsum materializations (the XLA form measured
+    59 ms vs ~13 ms of pure HBM traffic at 96x1024^2), and no exposure to the
+    XLA:TPU fused-chain miscompile that forced optimization_barriers there.
+    """
+    f32 = jnp.float32
+    rows = warped_ref.shape[4]
+    q = q_ref[0, 0]                                   # [rows, 128]
+    gc0 = gc_ref[0, 0, 0]
+    gc1 = gc_ref[0, 1, 0]
+    gc2 = gc_ref[0, 2, 0]
+
+    def pass1(l, t):
+        t_ref[l] = t
+        a = warped_ref[0, l, 3, 0]
+        # max(1-a, 0) + eps, NOT 1-a+eps: the compiler reassociates the
+        # latter to (1+eps)-a which rounds to exactly 0 at a=1 (fp32 can't
+        # represent 1+1e-10) -> 0/0 = NaN in pass2's division.  The max form
+        # is equal for a <= 1 and also guards the a = 1+delta interpolation
+        # overshoot of the bf16x3 warp (delta ~ 1e-5), where dividing by a
+        # signed near-zero would inject an O(1) d_alpha error.
+        return t * (jnp.maximum(1.0 - a, 0.0) + eps)
+
+    t_total = lax.fori_loop(0, L, pass1, jnp.ones((rows, LANES), f32))
+
+    gt_term = None
+    if has_gt:
+        gt_term = gt_ref[0, 0] * t_total
+
+    def pass2(i, u):
+        l = L - 1 - i
+        r0 = warped_ref[0, l, 0, 0]
+        r1 = warped_ref[0, l, 1, 0]
+        r2 = warped_ref[0, l, 2, 0]
+        a = warped_ref[0, l, 3, 0]
+        t_excl = t_ref[l]
+        e = gc0 * r0 + gc1 * r1 + gc2 * r2
+        if has_gd:
+            e = e + gd_ref[0, 0] * (scal_ref[0, l, 4] * q)
+        one_m = jnp.maximum(1.0 - a, 0.0) + eps  # see pass1 note
+        w = a * t_excl
+        d_alpha = t_excl * e - u / one_m
+        if has_gt:
+            d_alpha = d_alpha - gt_term / one_m
+        out_ref[0, l, 0, 0] = w * gc0
+        out_ref[0, l, 1, 0] = w * gc1
+        out_ref[0, l, 2, 0] = w * gc2
+        out_ref[0, l, 3, 0] = d_alpha
+        return u + w * e
+
+    lax.fori_loop(0, L, pass2, jnp.zeros((rows, LANES), f32))
+
+
+def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
+                         eps: float = EPS, interpret: bool = False,
+                         block_rows: int = 32):
+    """Pallas composite backward over subtile-flat stacks.
+
+    warped_f [V, L, 4, NS, R8, 128]; qf [V, NS, R8, 128];
+    gc [V, 3, NS, R8, 128]; gd/gt optional [V, NS, R8, 128]; scal [V, L, 6].
+    Returns d_samp [V, L, 4, NS, R8, 128] — the drop-in equivalent of
+    reshaping through :func:`composite_bwd` (oracle-tested).
+    """
+    v, l_planes = warped_f.shape[0], warped_f.shape[1]
+    ns, r8 = warped_f.shape[3], warped_f.shape[4]
+    assert r8 % block_rows == 0, (r8, block_rows)
+    split = r8 // block_rows
+    nb = ns * split
+
+    # refine the pixel blocking: [NS, R8, 128] -> [NS*split, R8/split, 128]
+    # (contiguous — free reshape); bounds the per-step VMEM block
+    wr = warped_f.reshape(v, l_planes, 4, nb, block_rows, LANES)
+    qr = qf.reshape(v, nb, block_rows, LANES)
+    gcr = gc.reshape(v, 3, nb, block_rows, LANES)
+    zero = jnp.zeros((v, nb, block_rows, LANES), jnp.float32)
+    gdr = zero if gd is None else gd.reshape(v, nb, block_rows, LANES)
+    gtr = zero if gt is None else gt.reshape(v, nb, block_rows, LANES)
+
+    kernel = functools.partial(_composite_bwd_kernel, L=l_planes, eps=eps,
+                               has_gd=gd is not None, has_gt=gt is not None)
+    px = lambda vi, si: (vi, si, 0, 0)
+    stack = pl.BlockSpec((1, l_planes, 4, 1, block_rows, LANES),
+                         lambda vi, si: (vi, 0, 0, si, 0, 0))
+    field = pl.BlockSpec((1, 1, block_rows, LANES), px)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(v, nb),
+            in_specs=[
+                pl.BlockSpec((1, l_planes, 6), lambda vi, si: (vi, 0, 0),
+                             memory_space=pltpu.SMEM),
+                stack,
+                field,
+                pl.BlockSpec((1, 3, 1, block_rows, LANES),
+                             lambda vi, si: (vi, 0, si, 0, 0)),
+                field,
+                field,
+            ],
+            out_specs=stack,
+            scratch_shapes=[
+                pltpu.VMEM((l_planes, block_rows, LANES), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (v, l_planes, 4, nb, block_rows, LANES), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(scal, wr, qr, gcr, gdr, gtr)
+    return out.reshape(v, l_planes, 4, ns, r8, LANES)
+
+
 def render_mpi_fused_fwd(
     rgba: jnp.ndarray,      # [V, L, 4, Th, Tw] in [0, 1]
     dhw: jnp.ndarray,       # [L, 3]
@@ -1514,16 +1635,12 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
         scal = jax.vmap(lambda e: plane_affine(dhw, e, tex_h, tex_w))(eye_pos)
         rx, ry, q = ray_fields(ray_dir.astype(jnp.float32),
                                z_dir.astype(jnp.float32))
-        qf = flatten_pixels(q).reshape(v, -1, LANES)
-        warped_f = warped.reshape(v, l_pl, 4, -1, LANES)
-        delta = scal[:, :, 4][:, :, None, None] * qf[:, None]
-        gc = flatten_pixels(g_color).reshape(v, 3, -1, LANES)
-        gd = None if g_depth is None else flatten_pixels(
-            g_depth[:, 0]).reshape(v, -1, LANES)
-        gt = None if g_trans is None else flatten_pixels(
-            g_trans[:, 0]).reshape(v, -1, LANES)
-        d_samp = composite_bwd(warped_f, delta, gc, gd, gt, eps)
-        d_samp6 = d_samp.reshape(v, l_pl, 4, h // STRIP, -1, LANES)
+        qf6 = flatten_pixels(q)
+        gc6 = flatten_pixels(g_color)
+        gd6 = None if g_depth is None else flatten_pixels(g_depth[:, 0])
+        gt6 = None if g_trans is None else flatten_pixels(g_trans[:, 0])
+        d_samp6 = composite_bwd_pallas(warped, scal, qf6, gc6, gd6, gt6,
+                                       eps, interpret=interpret)
         rxf, ryf = flatten_pixels(rx), flatten_pixels(ry)
         d_rgba = warp_splat(d_samp6, rxf, ryf, ry, scal, bands, splat_plan,
                             tex_h, tex_w, interpret=interpret)
@@ -1539,7 +1656,8 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
                         early_out: bool = True, eps: float = EPS,
                         interpret: bool = False,
                         precision=lax.Precision.HIGHEST,
-                        compute_dtype=None):
+                        compute_dtype=None,
+                        composite_backend: str = "pallas"):
     """Build the fused MPI renderer with its exact custom VJP.
 
     ``plan`` is a tuple of ``(lo, hi, FusedBands)`` (see
@@ -1593,15 +1711,22 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
                                z_dir.astype(jnp.float32))
         # composite backward runs in the kernel's subtile-flat layout
         # (elementwise over pixels + reductions over planes: layout-free)
-        qf = flatten_pixels(q).reshape(v, -1, LANES)
-        warped_f = warped.reshape(v, l_all, 4, -1, LANES)
-        delta = scal[:, :, 4][:, :, None, None] * qf[:, None]
-        gc = flatten_pixels(g_color).reshape(v, 3, -1, LANES)
-        gd = None if g_depth is None else flatten_pixels(
-            g_depth[:, 0]).reshape(v, -1, LANES)
-        gt = None if g_trans is None else flatten_pixels(
-            g_trans[:, 0]).reshape(v, -1, LANES)
-        d_samp = composite_bwd(warped_f, delta, gc, gd, gt, eps)
+        qf6 = flatten_pixels(q)                          # [V, NS, R8, 128]
+        gc6 = flatten_pixels(g_color)
+        gd6 = None if g_depth is None else flatten_pixels(g_depth[:, 0])
+        gt6 = None if g_trans is None else flatten_pixels(g_trans[:, 0])
+        if composite_backend == "pallas":
+            d_samp6 = composite_bwd_pallas(warped, scal, qf6, gc6, gd6, gt6,
+                                           eps, interpret=interpret)
+            d_samp = d_samp6.reshape(v, l_all, 4, -1, LANES)
+        else:
+            qf = qf6.reshape(v, -1, LANES)
+            warped_f = warped.reshape(v, l_all, 4, -1, LANES)
+            delta = scal[:, :, 4][:, :, None, None] * qf[:, None]
+            gc = gc6.reshape(v, 3, -1, LANES)
+            gd = None if gd6 is None else gd6.reshape(v, -1, LANES)
+            gt = None if gt6 is None else gt6.reshape(v, -1, LANES)
+            d_samp = composite_bwd(warped_f, delta, gc, gd, gt, eps)
         parts = []
         if use_splat:
             d_samp6 = d_samp.reshape(v, l_all, 4, h // STRIP, -1, LANES)

@@ -306,3 +306,34 @@ def test_fused_grads_exact_behind_opaque_planes():
         render_slab_partial(x, geom.dhw, ray_dir, eye, z_dir)[0] * gc))(rgba)
     rel = float(jnp.max(jnp.abs(g - go))) / float(jnp.max(jnp.abs(go)))
     assert rel < 1e-3, rel
+
+
+@pytest.mark.parametrize("with_gd,with_gt", [(False, False), (True, True)])
+def test_composite_bwd_pallas_matches_xla(with_gd, with_gt):
+    """The Pallas composite backward (two in-register plane passes) equals
+    the XLA oracle ``composite_bwd`` on random stacks, with and without the
+    depth/transmittance cotangents."""
+    from gmpi_tpu.ops.pallas_warp import LANES, composite_bwd_pallas
+
+    v, L, ns, r8 = 1, 5, 2, 32  # pixel block = r8 x 128 per strip
+    rng = np.random.default_rng(0)
+    warped = jnp.asarray(rng.random((v, L, 4, ns, r8, LANES)).astype(np.float32))
+    scal = jnp.asarray(rng.standard_normal((v, L, 6)).astype(np.float32))
+    qf = jnp.asarray(rng.random((v, ns, r8, LANES)).astype(np.float32))
+    gc = jnp.asarray(rng.standard_normal((v, 3, ns, r8, LANES)).astype(np.float32))
+    gd = jnp.asarray(rng.standard_normal((v, ns, r8, LANES)).astype(np.float32)) if with_gd else None
+    gt = jnp.asarray(rng.standard_normal((v, ns, r8, LANES)).astype(np.float32)) if with_gt else None
+
+    got = composite_bwd_pallas(warped, scal, qf, gc, gd, gt,
+                               interpret=True, block_rows=16)
+
+    qflat = qf.reshape(v, -1, LANES)
+    warped_f = warped.reshape(v, L, 4, -1, LANES)
+    delta = scal[:, :, 4][:, :, None, None] * qflat[:, None]
+    want = composite_bwd(
+        warped_f, delta, gc.reshape(v, 3, -1, LANES),
+        None if gd is None else gd.reshape(v, -1, LANES),
+        None if gt is None else gt.reshape(v, -1, LANES))
+    np.testing.assert_allclose(
+        np.asarray(got.reshape(v, L, 4, -1, LANES)), np.asarray(want),
+        rtol=2e-5, atol=2e-5)
