@@ -227,3 +227,37 @@ def test_render_video_artifacts_end_to_end(tmp_path):
     assert (tmp_path / "mpi_alpha.png").exists()
     out = save_video(str(tmp_path / "rgb.mp4"), frames, fps=5)
     assert os.path.exists(out)
+
+
+@pytest.mark.skipif("GMPI_INCEPTION_PTH" not in __import__("os").environ,
+                    reason="set GMPI_INCEPTION_PTH to a torchvision FID "
+                           "InceptionV3 .pth to run the real-weights parity")
+def test_inception_real_weights_parity():
+    """Weights-available fallback (docs/COVERAGE.md 'validation status'):
+    if a real Inception checkpoint exists, the JAX pool3 features must match
+    the torch forward on the same inputs."""
+    import os
+
+    import torch
+
+    from gmpi_tpu.eval.inception import inception_pool3, load_params
+
+    path = os.environ["GMPI_INCEPTION_PTH"]
+    params = load_params(path)
+    x = np.random.default_rng(0).random((2, 3, 299, 299)).astype(np.float32)
+    got = np.asarray(inception_pool3(params, jnp.asarray(x)))
+
+    from torchvision.models import inception_v3
+
+    net = inception_v3(weights=None, aux_logits=True, init_weights=False)
+    net.load_state_dict(torch.load(path, map_location="cpu"), strict=False)
+    net.eval()
+    feats = []
+
+    def hook(_m, _i, o):
+        feats.append(o.flatten(1).detach().numpy())
+
+    net.avgpool.register_forward_hook(hook)
+    with torch.no_grad():
+        net(torch.from_numpy(x) * 2 - 1)  # torchvision normalizes internally
+    np.testing.assert_allclose(got, feats[0], rtol=1e-3, atol=1e-3)

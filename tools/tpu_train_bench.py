@@ -1,0 +1,128 @@
+"""Measure the REAL train step on the actual accelerator (VERDICT r2 #4).
+
+Runs ``make_train_step`` for a preset on synthetic data and records what the
+reference never publishes and round 2 never measured: per-step wall time,
+compile time, and the HBM high-water mark of one full GAN step (D with R1
+grad-of-grad + worst-view G) on the chip.
+
+    python tools/tpu_train_bench.py --preset FFHQ256 --steps 20
+    python tools/tpu_train_bench.py --preset FFHQ1024 --steps 2 \
+        --plane_chunk 16 --r1_remat --worst_view_res 64
+
+Prints one JSON line; append results to docs/TPU_TRAIN.md.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="FFHQ256")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch_split", type=int, default=0,
+                    help="override the preset's micro-batching (0 = keep)")
+    ap.add_argument("--plane_chunk", type=int, default=0,
+                    help="renderer plane chunking (memory relief; 0 = off)")
+    ap.add_argument("--r1_remat", action="store_true")
+    ap.add_argument("--worst_view_res", type=int, default=0,
+                    help="low-res worst-view selection (0 = full res)")
+    ap.add_argument("--no_worst_view", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="render through the fused Pallas kernel")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gmpi_tpu.config import get_config
+    from gmpi_tpu.train.step import init_train_state, make_train_step
+
+    cfg = get_config(args.preset)
+    hp = dataclasses.replace(cfg.hparams, batch_size=args.batch)
+    if args.batch_split:
+        hp = dataclasses.replace(hp, batch_split=args.batch_split)
+    tr = dataclasses.replace(
+        cfg.train,
+        renderer_plane_chunk=args.plane_chunk or None,
+        r1_remat=args.r1_remat,
+        worst_view_render_res=args.worst_view_res,
+        select_worst_view=not args.no_worst_view,
+        use_fused_renderer=args.fused,
+    )
+    cfg = dataclasses.replace(cfg, hparams=hp, train=tr)
+
+    res = cfg.hparams.img_size
+    rng = np.random.default_rng(0)
+    real = jnp.asarray(rng.uniform(-1, 1, (args.batch, 3, res, res)).astype(np.float32))
+    pose = jnp.asarray(rng.standard_normal((args.batch, 16)).astype(np.float32))
+
+    dev = jax.devices()[0]
+
+    def hbm_peak():
+        try:
+            stats = dev.memory_stats()
+            return int(stats.get("peak_bytes_in_use", 0))
+        except Exception:
+            return 0
+
+    t0 = time.perf_counter()
+    state = init_train_state(cfg, jax.random.key(0))
+    jax.block_until_ready(state.params_g)
+    t_init = time.perf_counter() - t0
+
+    step_fn = make_train_step(cfg, donate=True)
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, real, pose, jax.random.key(1))
+    jax.block_until_ready(metrics)
+    t_compile = time.perf_counter() - t0
+
+    times = []
+    for i in range(args.steps):
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, real, pose, jax.random.fold_in(jax.random.key(2), i))
+        jax.block_until_ready(metrics)
+        times.append(time.perf_counter() - t0)
+
+    metrics_f = {k: float(v) for k, v in metrics.items()}
+    finite = all(np.isfinite(v) for v in metrics_f.values())
+    out = {
+        "preset": args.preset,
+        "platform": dev.platform,
+        "batch": args.batch,
+        "batch_split": cfg.hparams.batch_split,
+        "plane_chunk": args.plane_chunk or None,
+        "r1_remat": args.r1_remat,
+        "worst_view_res": args.worst_view_res or res,
+        "select_worst_view": not args.no_worst_view,
+        "fused_renderer": args.fused,
+        "init_s": round(t_init, 2),
+        "first_step_s_incl_compile": round(t_compile, 2),
+        "step_s_median": round(float(np.median(times)), 4),
+        "step_s_min": round(float(np.min(times)), 4),
+        "imgs_per_s": round(args.batch / float(np.median(times)), 3),
+        "hbm_peak_gib": round(hbm_peak() / 2**30, 2),
+        "steps": args.steps,
+        "finite": finite,
+        "metrics_last": {k: round(v, 4) for k, v in metrics_f.items()},
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
