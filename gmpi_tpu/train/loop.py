@@ -37,22 +37,32 @@ from gmpi_tpu.train.step import TrainState, init_train_state, make_train_step
 
 
 class MetricLogger:
-    """Rank-0 JSONL metric log + stdout (TensorBoard analogue,
-    ``gmpi/utils/tensorboard_utils.py``)."""
+    """Rank-0 metric log: JSONL + stdout + TensorBoard event file
+    (``gmpi/utils/tensorboard_utils.py`` parity — live scalar dashboards
+    via the dependency-free writer in ``utils/tb_writer.py``)."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, tensorboard: bool = True):
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, "metrics.jsonl")
         self._f = open(self.path, "a")
+        self._tb = None
+        if tensorboard:
+            from gmpi_tpu.utils.tb_writer import SummaryWriter
+            self._tb = SummaryWriter(os.path.join(out_dir, "tensorboard"))
 
     def log(self, step: int, metrics: dict) -> None:
         rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            self._tb.add_scalars_dict(
+                {k: float(v) for k, v in metrics.items()}, step)
         print(f"[step {step}] " + " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items()), flush=True)
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def _to_u8(img_chw: np.ndarray) -> np.ndarray:
