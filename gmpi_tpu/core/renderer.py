@@ -48,6 +48,12 @@ COMPOSITE_EPS = 1e-10  # ``gmpi/core/mpi.py:421``
 class RenderOutput(NamedTuple):
     color: jnp.ndarray  # [V, 3, H, W], range [0, 1] (pre the [-1,1] remap)
     depth: jnp.ndarray  # [V, 1, H, W]
+    # Expected disparity ``sum_l w_l / depth_l`` (``gmpi/core/mpi.py:431``).
+    # Populated by :func:`render_mpi`; the chunked / fused / sharded fast
+    # paths return ``None`` (disp is consumed by eval-side tooling, which
+    # renders through the full path).  Note ``disp != 1/depth`` pixelwise —
+    # both are weight-averaged independently, as in the reference.
+    disp: Optional[jnp.ndarray] = None  # [V, 1, H, W]
 
 
 def homography_grid(
@@ -169,19 +175,24 @@ def composite(
     rgb: jnp.ndarray,
     alpha: jnp.ndarray,
     depth: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    disp: Optional[jnp.ndarray] = None,
+):
     """Front-to-back over-composite along the plane axis
     (``gmpi/core/mpi.py:419-434``).
 
-    rgb [V, L, 3, H, W], alpha/depth [V, L, 1, H, W]; plane 0 nearest.
-    Returns (color [V,3,H,W], depth [V,1,H,W]).
+    rgb [V, L, 3, H, W], alpha/depth/disp [V, L, 1, H, W]; plane 0 nearest.
+    Returns (color [V,3,H,W], depth [V,1,H,W]) — plus expected disparity
+    (``mpi.py:431``) as a third output when ``disp`` is given.
     """
     ones = jnp.ones_like(alpha[:, :1])
     shifted = jnp.concatenate([ones, 1.0 - alpha + COMPOSITE_EPS], axis=1)
     weights = alpha * jnp.cumprod(shifted, axis=1)[:, :-1]
     color = jnp.sum(weights * rgb, axis=1)
     depth_out = jnp.sum(weights * depth, axis=1)
-    return color, depth_out
+    if disp is None:
+        return color, depth_out
+    disp_out = jnp.sum(weights * disp, axis=1)
+    return color, depth_out, disp_out
 
 
 def composite_sequential(
@@ -291,9 +302,10 @@ def render_mpi(
     rgb = sampled[:, :3].reshape(v, l_planes, 3, h, w)
     alpha = sampled[:, 3:4].reshape(v, l_planes, 1, h, w)
     depth = depth.reshape(v, l_planes, 1, h, w)
+    disp = disp.reshape(v, l_planes, 1, h, w)
 
-    color, depth_out = composite(rgb, alpha, depth)
-    return RenderOutput(color=color, depth=depth_out)
+    color, depth_out, disp_out = composite(rgb, alpha, depth, disp)
+    return RenderOutput(color=color, depth=depth_out, disp=disp_out)
 
 
 def render_mpi_chunked(

@@ -178,3 +178,36 @@ def test_align_corners_false_allclose_vs_reference_implementation():
     out = render_mpi(jnp.asarray(rgba), geom.dhw, ray_dir, eye, z_dir, align_corners=False)
     np.testing.assert_allclose(np.asarray(out.color), color_ref.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.depth), depth_ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+@needs_reference
+def test_disparity_allclose_vs_reference_implementation():
+    """Expected disparity ``sum_l w_l * disp_l``: the reference computes
+    ``disp_out`` with the same composite weights (``gmpi/core/mpi.py:415-431``)
+    but drops it at the return; recompute it in torch from the reference's own
+    ``homography`` outputs and require our ``RenderOutput.disp`` to match."""
+    import torch
+
+    mpi_mod = import_reference("gmpi.core.mpi")
+    geom, rgba, ray_dir, eye, z_dir = _fixture()
+    v, l = rgba.shape[0], rgba.shape[1]
+    img = ray_dir.shape[2]
+    t = lambda a: torch.from_numpy(np.asarray(a))
+
+    flat_rgba = t(rgba).reshape(v * l, 4, rgba.shape[3], rgba.shape[4])
+    flat_dhw = t(geom.dhw)[None].expand(v, -1, -1).reshape(v * l, 3)
+    flat_ray = t(ray_dir)[:, None].expand(-1, l, -1, -1, -1).reshape(v * l, 3, img, img)
+    flat_eye = t(eye)[:, None].expand(-1, l, -1).reshape(v * l, 3)
+    flat_z = t(z_dir)[:, None].expand(-1, l, -1).reshape(v * l, 3)
+    _, flat_disp, flat_alpha = mpi_mod.homography(
+        flat_rgba, flat_dhw, flat_eye, flat_ray, flat_z,
+        assert_not_out_of_plane=False, align_corners=True)
+    cat_alpha = flat_alpha.reshape(v, l, 1, img, img)
+    cat_disp = flat_disp.reshape(v, l, 1, img, img)
+    shifted = torch.cat([torch.ones_like(cat_alpha[:, :1]), 1 - cat_alpha + 1e-10], 1)
+    weights = cat_alpha * torch.cumprod(shifted, dim=1)[:, :-1]
+    disp_ref = torch.sum(weights * cat_disp, dim=1)
+
+    out = render_mpi(jnp.asarray(rgba), geom.dhw, ray_dir, eye, z_dir)
+    assert out.disp is not None
+    np.testing.assert_allclose(np.asarray(out.disp), disp_ref.numpy(), rtol=1e-4, atol=1e-5)
