@@ -43,6 +43,36 @@ def install_stubs() -> None:
 
         lazy_mod.lazy = lazy
         sys.modules["lazy"] = lazy_mod
+    if "torchvision" not in sys.modules:
+        # import-time only: fid_score.py / inception.py import torchvision at
+        # module top, but calculate_frechet_distance is pure numpy/scipy
+        tv = types.ModuleType("torchvision")
+        tv_tf = types.ModuleType("torchvision.transforms")
+        tv_m = types.ModuleType("torchvision.models")
+        tv_mu = types.ModuleType("torchvision.models.utils")
+
+        def _no_url(*a, **k):
+            raise RuntimeError("zero-egress test stub")
+
+        tv_mu.load_state_dict_from_url = _no_url
+        tv.transforms = tv_tf
+        tv.models = tv_m
+        tv_m.utils = tv_mu
+        tv.__version__ = "0.0"
+        # inception.py subclasses these at module level; the FID-math oracle
+        # (calculate_frechet_distance) never instantiates them
+        tv_inc = types.ModuleType("torchvision.models.inception")
+        import torch.nn as _nn
+
+        for cls in ("InceptionA", "InceptionC", "InceptionE"):
+            setattr(tv_inc, cls, type(cls, (_nn.Module,), {}))
+        tv_m.inception = tv_inc
+        tv_m.inception_v3 = _no_url
+        sys.modules["torchvision.models.inception"] = tv_inc
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv_tf
+        sys.modules["torchvision.models"] = tv_m
+        sys.modules["torchvision.models.utils"] = tv_mu
     for p in (REFERENCE, os.path.join(REFERENCE, "gmpi", "models")):
         if p not in sys.path:
             sys.path.insert(0, p)
