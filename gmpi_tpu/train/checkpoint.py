@@ -33,15 +33,21 @@ def save_checkpoint(base_dir: str, state: TrainState, keep_last: int = 3) -> str
     step = int(np.asarray(state.step))
     path = os.path.abspath(_ckpt_dir(base_dir, step))
     ckptr = ocp.PyTreeCheckpointer()
+    # collective in multiprocess runs: every process must call save (orbax
+    # syncs internally and the primary host commits the write) — do NOT gate
+    # this on process_index, that deadlocks the sync_global_processes inside
     ckptr.save(path, jax.device_get(state._asdict()), force=True)
-    with open(os.path.join(base_dir, "latest"), "w") as f:
-        f.write(os.path.basename(path))
-    # prune
-    kept = sorted(d for d in os.listdir(base_dir) if d.startswith("step_"))
-    for d in kept[:-keep_last]:
-        import shutil
+    if jax.process_index() == 0:
+        # plain-file side effects are rank-0-only (reference: rank-0
+        # torch.save, ``gmpi/train.py:427-437``)
+        with open(os.path.join(base_dir, "latest"), "w") as f:
+            f.write(os.path.basename(path))
+        # prune
+        kept = sorted(d for d in os.listdir(base_dir) if d.startswith("step_"))
+        for d in kept[:-keep_last]:
+            import shutil
 
-        shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+            shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
     return path
 
 

@@ -163,7 +163,8 @@ def train(
     host arrays).  Returns the final state."""
     total_iters = total_iters or cfg.train.total_iters
     os.makedirs(out_dir, exist_ok=True)
-    save_config_snapshot(out_dir, cfg)
+    if jax.process_index() == 0:
+        save_config_snapshot(out_dir, cfg)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
     logger = MetricLogger(out_dir)
@@ -256,6 +257,7 @@ def train(
         if step > 0 and step % sample_interval == 0:
             (snapshot_fn or save_snapshot_grid)(os.path.join(out_dir, "snaps"), stage_cfg, state, step)
         if step > 0 and step % model_save_interval == 0:
+            # collective: all processes enter (orbax syncs; primary commits)
             save_checkpoint(ckpt_dir, state)
         if fid_feature_fn is not None and fid_real_images is not None and step > 0 and step % eval_freq == 0:
             fid = compute_training_fid(stage_cfg, state, fid_feature_fn, fid_real_images)
