@@ -17,7 +17,8 @@ import os
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", required=True,
-                   choices=["FFHQ256", "FFHQ512", "FFHQ1024", "AFHQCat", "MetFaces"])
+                   help="a gmpi_tpu.config.PRESETS key "
+                        "(FFHQ256/FFHQ512/FFHQ1024/AFHQCat/MetFaces)")
     p.add_argument("--data_root", required=True, help="image zip/folder path")
     p.add_argument("--pose_root", required=True, help="pose coefficient dir")
     p.add_argument("--output_dir", required=True)
@@ -50,10 +51,12 @@ def main():
         # coordinator/process env comes from the TPU pod runtime
         jax.distributed.initialize()
 
-    from gmpi_tpu.config import get_config
+    from gmpi_tpu.config import PRESETS, get_config
     from gmpi_tpu.data import ShardedLoader, get_dataset
     from gmpi_tpu.train.loop import train
 
+    if args.dataset not in PRESETS:
+        p.error(f"--dataset must be one of {sorted(PRESETS)}")
     cfg = get_config(args.dataset)
     if args.fused_renderer:
         import dataclasses
