@@ -61,15 +61,19 @@ def _setup(n_planes, res, tex):
         yaw_mean=0.0, yaw_std=0.289, pitch_mean=0.0, pitch_std=0.127,
         n_truncated_stds=2.0, enlarge_factor=1.001, confined=True,
     )
-    rng = np.random.default_rng(0)
-    rgba = jnp.asarray(rng.random((1, n_planes, 4, tex, tex)).astype(np.float32))
+    # device-side RNG: a host-materialized [96, 4, 1024, 1024] upload measured
+    # >15 min through the remote-tunnel dev chip (~2 MB/s); on-device fill is
+    # instant and just as deterministic
+    k1, k2 = jax.random.split(jax.random.key(0))
+    rgba = jax.jit(lambda k: jax.random.uniform(
+        k, (1, n_planes, 4, tex, tex), jnp.float32))(k1)
     c2w, _, _ = poses_mod.sample_sphere_poses(
         None, 1, poses_mod.SphereCameraConfig(1.0, 1.0, 0.0, 0.289, 0.0, 0.127),
         given_yaws=jnp.asarray([[0.1]]), given_pitches=jnp.asarray([[0.05]]),
     )
     intr = cam.intrinsics_from_fov(12.6, res, res)
     ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
-    cot = jnp.asarray(rng.standard_normal((1, 3, res, res)).astype(np.float32))
+    cot = jax.jit(lambda k: jax.random.normal(k, (1, 3, res, res), jnp.float32))(k2)
     return geom, rgba, ray_dir, eye, z_dir, cot
 
 

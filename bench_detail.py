@@ -55,15 +55,15 @@ def main():
         fov_deg=12.6, sphere_center_z=1.0, sphere_r=1.0,
         yaw_mean=0.0, yaw_std=0.289, pitch_mean=0.0, pitch_std=0.127,
     )
-    rng = np.random.default_rng(0)
-    rgba = jnp.asarray(rng.random((1, L, 4, R, R)).astype(np.float32))
+    k1, k2 = jax.random.split(jax.random.key(0))
+    rgba = jax.jit(lambda k: jax.random.uniform(k, (1, L, 4, R, R), jnp.float32))(k1)
     c2w, _, _ = poses_mod.sample_sphere_poses(
         None, 1, poses_mod.SphereCameraConfig(1.0, 1.0, 0.0, 0.289, 0.0, 0.127),
         given_yaws=jnp.asarray([[0.1]]), given_pitches=jnp.asarray([[0.05]]),
     )
     intr = cam.intrinsics_from_fov(12.6, R, R)
     ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
-    cot = jnp.asarray(rng.standard_normal((1, 3, R, R)).astype(np.float32))
+    cot = jax.jit(lambda k: jax.random.normal(k, (1, 3, R, R), jnp.float32))(k2)
 
     dhw_f = jnp.asarray(geom.dhw)
     ray_f = jnp.broadcast_to(ray_dir[:, None], (1, L, 3, R, R)).reshape(L, 3, R, R)
@@ -154,15 +154,15 @@ def fused_detail(args):
         yaw_mean=0.0, yaw_std=0.289, pitch_mean=0.0, pitch_std=0.127,
         n_truncated_stds=2.0, enlarge_factor=1.001, confined=True,
     )
-    rng = np.random.default_rng(0)
-    rgba = jnp.asarray(rng.random((1, L, 4, R, R)).astype(np.float32))
+    k1, k2 = jax.random.split(jax.random.key(0))
+    rgba = jax.jit(lambda k: jax.random.uniform(k, (1, L, 4, R, R), jnp.float32))(k1)
     c2w, _, _ = poses_mod.sample_sphere_poses(
         None, 1, poses_mod.SphereCameraConfig(1.0, 1.0, 0.0, 0.289, 0.0, 0.127),
         given_yaws=jnp.asarray([[0.1]]), given_pitches=jnp.asarray([[0.05]]),
     )
     intr = cam.intrinsics_from_fov(12.6, R, R)
     ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
-    cot = jnp.asarray(rng.standard_normal((1, 3, R, R)).astype(np.float32))
+    cot = jax.jit(lambda k: jax.random.normal(k, (1, 3, R, R), jnp.float32))(k2)
     dhw = jnp.asarray(geom.dhw)
 
     import time as _t
@@ -201,8 +201,8 @@ def fused_detail(args):
         delta = scal_v[:, :, 4][:, :, None, None] * qf[:, None]
         return composite_bwd(warped_f, delta, gc, None, None)
 
-    rng2 = np.random.default_rng(1)
-    warped_f = jnp.asarray(rng2.random((1, L, 4, R * R // LANES, LANES)).astype(np.float32))
+    warped_f = jax.jit(lambda k: jax.random.uniform(
+        k, (1, L, 4, R * R // LANES, LANES), jnp.float32))(jax.random.key(1))
     rxs, rys, qs = ray_fields(ray_dir.astype(jnp.float32), z_dir.astype(jnp.float32))
     qf = flatten_pixels(qs).reshape(1, -1, LANES)
     gc = flatten_pixels(cot).reshape(1, 3, -1, LANES)

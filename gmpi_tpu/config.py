@@ -95,8 +95,10 @@ class TrainHparams:
     # (``gmpi/core/mpi.py:381-395`` runtime analogue); on in tests/smoke
     debug_ray_check: bool = False
     # fused Pallas warp+composite renderer in the train step (TPU fast path;
-    # bands planned over the truncated pose range at setup)
-    use_fused_renderer: bool = False
+    # bands planned over the truncated pose range at setup).  None = auto:
+    # fused whenever running on an accelerator with align_corners=True and a
+    # pixel grid the kernel layout supports (img % 64 == 0); True/False force
+    use_fused_renderer: Optional[bool] = None
     # edge-aware depth smoothness loss on rendered (rgb, depth)
     # (``configs/gmpi.yml:51-56``; the reference defines the loss but its
     # train path raises NotImplementedError — we support it)

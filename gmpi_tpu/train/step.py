@@ -137,7 +137,17 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
 
     tiled_bands = bands_for_config(cfg)
     fused_plans = None
-    if t.use_fused_renderer:
+    use_fused = t.use_fused_renderer
+    if use_fused is None:
+        # auto: the fused Pallas kernel is the production path on real
+        # accelerators (BENCH gates it vs the gather oracle every round);
+        # CPU runs keep the portable path (Pallas-TPU does not lower there)
+        use_fused = (
+            jax.default_backend() != "cpu"
+            and align_corners
+            and cfg.hparams.img_size % 64 == 0
+        )
+    if use_fused:
         from gmpi_tpu.core.bands import fused_plans_for_config
 
         assert align_corners, (

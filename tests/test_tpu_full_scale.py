@@ -56,15 +56,18 @@ def _setup(yaw, pitch):
         yaw_mean=0.0, yaw_std=0.289, pitch_mean=0.0, pitch_std=0.127,
         n_truncated_stds=2.0, enlarge_factor=1.001, confined=True,
     )
-    rng = np.random.default_rng(0)
-    rgba = jnp.asarray(rng.random((1, N_PLANES, 4, TEX, TEX)).astype(np.float32))
+    # device-side RNG: host-materialized 1.6 GB uploads crawl through the
+    # remote-tunnel dev chip (see bench.py _setup)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    rgba = jax.jit(lambda k: jax.random.uniform(
+        k, (1, N_PLANES, 4, TEX, TEX), jnp.float32))(k1)
     c2w, _, _ = poses_mod.sample_sphere_poses(
         None, 1, poses_mod.SphereCameraConfig(1.0, 1.0, 0.0, 0.289, 0.0, 0.127),
         given_yaws=jnp.asarray([[yaw]]), given_pitches=jnp.asarray([[pitch]]),
     )
     intr = cam.intrinsics_from_fov(12.6, RES, RES)
     ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
-    cot = jnp.asarray(rng.standard_normal((1, 3, RES, RES)).astype(np.float32))
+    cot = jax.jit(lambda k: jax.random.normal(k, (1, 3, RES, RES), jnp.float32))(k2)
     return geom, rgba, ray_dir, eye, z_dir, cot
 
 
@@ -132,3 +135,60 @@ def test_xla_tiled_full_scale_matches_oracle():
     res = bench.run_xla(N_PLANES, RES, TEX, plane_chunk=16)
     assert res["bands_ok"]
     assert res["allclose"], res
+
+
+@skip_no_tpu
+def test_fused_train_gradient_matches_gather_path():
+    """VERDICT r3 #3: with the fused renderer now the training default on
+    accelerators, the gradient the G phase backpropagates through the
+    renderer — d softplus(-D(render(mpi)*2-1)) / d mpi, D pose-conditioned —
+    must match the gather path at the MPI boundary (everything upstream of
+    the renderer then agrees by the chain rule)."""
+    import dataclasses
+
+    from gmpi_tpu.config import (ExperimentConfig, ModelPreset, PlaneConfig,
+                                 SphereCameraConfig, StepHparams, TrainHparams)
+    from gmpi_tpu.core import camera as cam
+    from gmpi_tpu.core import poses as poses_mod
+    from gmpi_tpu.core.bands import fused_plans_for_config
+    from gmpi_tpu.core.renderer import render_mpi, render_mpi_fused
+    from gmpi_tpu.train.step import flat_pose_from_c2w, init_train_state
+
+    res = 128
+    cfg = ExperimentConfig(
+        name="fused_grad_check", resolution=res, fov_deg=12.6,
+        camera=SphereCameraConfig(1.0, 1.0, 0.0, 0.289, 0.0, 0.127),
+        planes=PlaneConfig(n_planes=8, min_d=0.95, max_d=1.12),
+        hparams=StepHparams(batch_size=2, img_size=res, tex_size=res,
+                            batch_split=1, gen_lr=0.002, disc_lr=0.002),
+        train=TrainHparams(z_dim=32, w_dim=32, n_view_per_z=2, total_iters=1),
+        model=ModelPreset(channel_base=1024, channel_max=64, num_bf16_res=0,
+                          conv_clamp=None, gen_alpha_largest_res=res,
+                          mbstd_group_size=2),
+    )
+    geom = cfg.plane_geometry()
+    state = init_train_state(cfg, jax.random.key(0))
+    disc_cfg = cfg.discriminator_cfg()
+
+    k1, k2, k3 = jax.random.split(jax.random.key(5), 3)
+    mpi = jax.random.uniform(k1, (2, 8, 4, res, res), jnp.float32)
+    c2w, yaws, pitches = poses_mod.sample_sphere_poses(k2, 2, cfg.camera)
+    intr = cam.intrinsics_from_fov(cfg.fov_deg, res, res)
+    ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+    flat_pose = flat_pose_from_c2w(c2w, cfg.train.d_cond_pose_dim)
+    plans = fused_plans_for_config(cfg)
+
+    def g_loss(x, render):
+        out = render(x)
+        imgs = out.color * 2.0 - 1.0
+        scores = disc_cfg.apply(state.params_d, imgs, flat_pose)
+        return jnp.sum(jax.nn.softplus(-scores))
+
+    grad_fused = jax.jit(jax.grad(lambda x: g_loss(
+        x, lambda m: render_mpi_fused(m, geom.dhw, ray_dir, eye, z_dir, plans))))(mpi)
+    grad_gather = jax.jit(jax.grad(lambda x: g_loss(
+        x, lambda m: render_mpi(m, geom.dhw, ray_dir, eye, z_dir))))(mpi)
+
+    scale = float(jnp.max(jnp.abs(grad_gather)))
+    err = float(jnp.max(jnp.abs(grad_fused - grad_gather))) / max(scale, 1e-12)
+    assert err <= TOL, f"G-phase renderer gradient rel err {err}"

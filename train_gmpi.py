@@ -36,8 +36,10 @@ def main():
     p.add_argument("--fid_interval", type=int, default=5000)
     p.add_argument("--fid_n_imgs", type=int, default=2048)
     p.add_argument("--fused_renderer", action="store_true",
-                   help="render through the fused Pallas MXU kernel "
-                        "(bands planned over the pose range at setup)")
+                   help="force the fused Pallas MXU render path (default: "
+                        "auto — fused on accelerators, portable on CPU)")
+    p.add_argument("--no_fused_renderer", action="store_true",
+                   help="force the portable tiled/gather render path")
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (multi-host pod slice)")
@@ -58,11 +60,12 @@ def main():
     if args.dataset not in PRESETS:
         p.error(f"--dataset must be one of {sorted(PRESETS)}")
     cfg = get_config(args.dataset)
-    if args.fused_renderer:
+    if args.fused_renderer or args.no_fused_renderer:
         import dataclasses
 
         cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, use_fused_renderer=True))
+            cfg, train=dataclasses.replace(
+                cfg.train, use_fused_renderer=bool(args.fused_renderer)))
     dataset_name = "FFHQ" if args.dataset.startswith("FFHQ") else args.dataset
     dataset = get_dataset(
         dataset_name,
