@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Round-4 per-phase fused-renderer breakdown with in-graph timing.
+
+``bench_detail.py`` times each component with one host round-trip per
+iteration; through the remote-tunnel dev chip that adds O(30-100 ms) per
+measurement and made the r3 component sum (346 ms) disagree with the scored
+in-graph number (164 ms).  Here every phase is timed exactly the way
+``bench.py`` times the scored metric: ``lax.fori_loop`` with a 1e-30
+feedback term, INNER iterations amortizing the round-trip.
+
+Emits JSON to stdout (committed as the r4 breakdown artifact).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+N_PLANES = 96
+RES = TEX = 1024
+INNER = 4
+OUTER = 3
+PREC = "bf16x3"
+
+
+def timed_ingraph(fn, x, name):
+    """bench.py's _time_grad generalized: fn(x) -> pytree; returns best
+    seconds per call with INNER in-graph iterations."""
+
+    @jax.jit
+    def step(x):
+        def body(i, acc):
+            out = fn(x + acc * 1e-30)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return acc + leaf.ravel()[0] * 1e-30
+
+        return lax.fori_loop(0, INNER, body, jnp.zeros((), jnp.float32))
+
+    float(np.asarray(step(x)))  # compile + sync
+    times = []
+    for _ in range(OUTER):
+        t0 = time.perf_counter()
+        float(np.asarray(step(x)))
+        times.append(time.perf_counter() - t0)
+    best = min(times) / INNER
+    print(f"# {name:<34} {best * 1000:8.1f} ms", flush=True)
+    return best
+
+
+def main():
+    from gmpi_tpu.core import camera as cam
+    from gmpi_tpu.core import geometry as geom_mod
+    from gmpi_tpu.core import poses as poses_mod
+    from gmpi_tpu.core.renderer import plan_fused
+    from gmpi_tpu.ops.pallas_warp import (
+        LANES, STRIP, composite_bwd_pallas, flatten_pixels,
+        make_fused_renderer, plane_affine, ray_fields, render_mpi_fused_fwd,
+        warp_splat)
+
+    geom = geom_mod.build_plane_geometry(
+        n_planes=N_PLANES, min_d=0.95, max_d=1.12,
+        distance_sample_method="inverse",
+        fov_deg=12.6, sphere_center_z=1.0, sphere_r=1.0,
+        yaw_mean=0.0, yaw_std=0.289, pitch_mean=0.0, pitch_std=0.127,
+        n_truncated_stds=2.0, enlarge_factor=1.001, confined=True,
+    )
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    rgba = jax.jit(lambda k: jax.random.uniform(
+        k, (1, N_PLANES, 4, TEX, TEX), jnp.float32))(k1)
+    c2w, _, _ = poses_mod.sample_sphere_poses(
+        None, 1, poses_mod.SphereCameraConfig(1.0, 1.0, 0.0, 0.289, 0.0, 0.127),
+        given_yaws=jnp.asarray([[0.1]]), given_pitches=jnp.asarray([[0.05]]),
+    )
+    intr = cam.intrinsics_from_fov(12.6, RES, RES)
+    ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+    cot = jax.jit(lambda k: jax.random.normal(k, (1, 3, RES, RES), jnp.float32))(k2)
+    dhw = jnp.asarray(geom.dhw)
+
+    t0 = time.time()
+    plan, splat_plan = plan_fused(dhw, ray_dir, eye, z_dir, TEX, TEX)
+    print(f"# planning {time.time() - t0:.0f}s", flush=True)
+
+    fn = make_fused_renderer(plan, splat_plan, TEX, TEX, early_out=True,
+                             precision=PREC)
+    scal = jax.vmap(lambda e: plane_affine(dhw, e, TEX, TEX))(eye)
+    rx, ry, q = ray_fields(ray_dir.astype(jnp.float32), z_dir.astype(jnp.float32))
+    rxf, ryf, qf = flatten_pixels(rx), flatten_pixels(ry), flatten_pixels(q)
+    gc6 = flatten_pixels(cot)
+
+    res = {}
+    res["fwd_no_residual"] = timed_ingraph(
+        lambda x: fn(x, dhw, ray_dir, eye, z_dir)[0], rgba, "fwd (no residual)")
+    res["fwd_with_residual"] = timed_ingraph(
+        lambda x: render_mpi_fused_fwd(
+            x, dhw, ray_dir, eye, z_dir, plan, early_out=False,
+            precision=PREC)[3],
+        rgba, "fwd (+warped residual, no early-out)")
+
+    # composite backward on a synthetic warped stack (subtile-flat layout)
+    warped = jax.jit(lambda k: jax.random.uniform(
+        k, (1, N_PLANES, 4, RES // STRIP, RES // 64 * 8, LANES),
+        jnp.float32))(k3)
+    res["composite_bwd_pallas"] = timed_ingraph(
+        lambda w: composite_bwd_pallas(w, scal, qf, gc6, None, None),
+        warped, "composite_bwd (pallas)")
+
+    def splat_all(d6):
+        parts = []
+        for (lo, hi, bands), spl in zip(plan, splat_plan):
+            parts.append(warp_splat(d6[:, lo:hi], rxf, ryf, ry, scal[:, lo:hi],
+                                    bands, spl, TEX, TEX, precision=PREC))
+        return jnp.concatenate(parts, axis=1)
+
+    res["splat"] = timed_ingraph(splat_all, warped, "splat (bwd warp)")
+
+    res["grad_e2e"] = timed_ingraph(
+        jax.grad(lambda x: jnp.sum(fn(x, dhw, ray_dir, eye, z_dir)[0] * cot)),
+        rgba, "fwd+bwd e2e")
+
+    out = {k: round(v * 1000, 1) for k, v in res.items()}
+    out["sum_of_parts_ms"] = round(
+        (res["fwd_with_residual"] + res["composite_bwd_pallas"] + res["splat"]) * 1000, 1)
+    out["mpix_per_s"] = round(RES * RES / 1e6 / res["grad_e2e"], 3)
+    out["planes"] = N_PLANES
+    out["res"] = RES
+    out["precision"] = PREC
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
