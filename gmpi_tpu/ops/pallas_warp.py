@@ -53,6 +53,12 @@ LANES = 128        # output pixels per tile
 WIN_X = 256        # rebased window lanes (covers 128*s + D_X)
 WIN_SRC = 512      # static window sliced from the strip before rolling
 EPS = 1e-10        # composite epsilon (gmpi/core/mpi.py:421)
+# Grad-safe occlusion threshold: plane gradients bounded by ~GRAD_TAU x
+# |cotangent| x |values| are skipped/zeroed (see _fwd_kernel "grad" mode).
+# Every amplification path divides by at most ONE (1 - a + eps) factor, and
+# S = T/min-factor removes exactly that one, so the dropped mass is O(tau)
+# absolute — 3 decades below the 5e-4 allclose gate at O(1) grad scales.
+GRAD_TAU = 1e-7
 
 
 class FusedBands(NamedTuple):
@@ -227,29 +233,45 @@ def estimate_fused_bands(scal, rx, ry, margin: int = 2) -> FusedBands:
 
 
 def plan_fused_render(scal, rx, ry, margin: int = 2, max_chunks: int = 14,
-                      overhead: float = 400.0, max_chunk_planes: int = 24):
+                      overhead: float = 3000.0, max_chunk_planes: int = None):
     """Optimal plane chunking for the fused renderer (host helper).
 
     The kernel cost per (plane, tile) is ``d_x * (4*d_y + 7)`` vector ops
     with the chunk's *worst-case* bands, so grouping planes with different
     warp slopes inflates everyone's tap loops.  A DP segmentation minimizes
     ``sum_chunks planes * d_x * (4*d_y + 7) + overhead`` (overhead models
-    per-chunk kernel launch + compile pressure); the chunk count is capped
-    by escalating the overhead term.  Returns ``[(lo, hi, FusedBands), ...]``.
+    the *traffic* of a chunk boundary: XLA materializes the per-chunk
+    warped-residual concat, the d_samp slices, and extra texture-pad
+    copies — measured at ~10 ms/boundary at 96x1024^2, far above launch
+    cost, so the default strongly prefers merging chunks whose quantized
+    bands match); the chunk count is capped by escalating the overhead
+    term.  ``max_chunk_planes`` defaults to the VMEM bound of the fused
+    kernel's double-buffered warped-residual out block (256 KB/plane/strip
+    at 1024-wide images).  Returns ``[(lo, hi, FusedBands), ...]``.
     """
     sx, sy, sys_, sxa = _plane_spans(scal, rx, ry)
     n_l = len(sx)
+    if max_chunk_planes is None:
+        # double-buffered [L, 4, STRIP, w] fp32 warped block + ~12 MB for
+        # texture DMA buffers, pixel blocks and Mosaic slack under the
+        # 100 MB vmem_limit_bytes
+        w_img = np.asarray(rx).shape[-1]
+        max_chunk_planes = max(1, (88 * 1024 * 1024) // (2 * 4 * STRIP * w_img * 4))
 
     def chunk_cost(lo, hi, ov):
         # MXU-path per-plane cost model: hat builds scale with the subtile
-        # band b_x and the window rows rw; the matmul rides along (overlapped)
+        # band b_x and the window rows rw; the matmul rides along (overlapped).
+        # Both are quantized exactly as the kernel quantizes them (8-lane
+        # bands, win_rows sublane rounding) — the raw spans hid e.g. the
+        # rw 25 -> 28 step that actually costs a full 32 -> 40 sublane jump.
         if hi - lo > max_chunk_planes:
             # bound the warped-residual output block (2x in VMEM): ~260 KB
             # per plane per strip at 1024^2
             return np.inf
         b_x = int(np.ceil(sxa[lo:hi].max())) + 3 + margin
+        b_x = ((b_x + 7) // 8) * 8
         rw = STRIP + int(np.ceil(sy[lo:hi].max())) + 3 + margin
-        return (hi - lo) * (3 * b_x + 7 * rw) + ov
+        return (hi - lo) * (3 * b_x + 7 * win_rows(rw)) + ov
 
     ov = overhead
     while True:
@@ -465,6 +487,8 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
     acc_t0 = tin_ref[0, 0]
 
     def compute_plane(l, slot, acc_rgb, acc_d, acc_t):
+        # NOTE: ``alpha`` is also inspected by the grad-safe early-out
+        # wrapper below (acc_m update) via the returned accumulators.
         ax = scal_ref[0, l, 0]
         bx = scal_ref[0, l, 1]
         ay = scal_ref[0, l, 2]
@@ -544,33 +568,86 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
         acc_rgb = acc_rgb + wgt[None] * samp_full[:3]
         acc_d = acc_d + wgt * (dsc * q_full)
         acc_t = acc_t * (1.0 - alpha + eps)
-        return acc_rgb, acc_d, acc_t
+        # composite factor, clamped like composite_bwd's pass1 (guards the
+        # bf16x3 alpha = 1+delta interpolation overshoot)
+        one_m = jnp.maximum(1.0 - alpha, 0.0) + eps
+        return acc_rgb, acc_d, acc_t, one_m
 
-    def plane_body(l, carry):
-        acc_rgb, acc_d, acc_t = carry
-        slot = lax.rem(l, 2)
+    def zero_warped(l):
+        if warped_ref is not None:
+            warped_ref[0, pl.ds(l, 1), :, 0] = jnp.zeros((1, 4, r8, LANES), f32)
 
-        @pl.when(l + 1 < L)
-        def _():
-            dma(l + 1, lax.rem(l + 1, 2)).start()
+    if early_out == "grad":
+        # Grad-safe occlusion skipping.  S = T / M (M = min composite factor
+        # so far) bounds EVERY gradient path out of plane l, including the
+        # u / (1 - a + eps) amplification behind a single opaque plane that
+        # makes the plain early-out (threshold on T) corrupt d_alpha — the
+        # division can cancel at most the one smallest factor, and that is
+        # exactly the factor S removes.  S is monotone non-increasing along
+        # planes, so once a strip block is dead it stays dead: compute, the
+        # VJP residual, AND the texture-band DMAs of every farther plane are
+        # skipped (zero residuals = exactly the bound's zero contribution).
+        # acc_s: transmittance from CLAMPED factors (max(1-a,0)+eps).  acc_t
+        # itself is the reference-semantics output, and XLA reassociates its
+        # (1 - a + eps) into (1+eps) - a which is exactly 0 at a=1 — making
+        # S = acc_t/acc_m collapse to 0 and wrongly killing the plane right
+        # behind a single opaque one (whose residual feeds the occluder's
+        # d_alpha at O(1)).  The clamped product can't hit that zero.
+        def plane_body(l, carry):
+            acc_rgb, acc_d, acc_t, acc_s, acc_m, started = carry
+            slot = lax.rem(l, 2)
+            live = (started == 1) & (jnp.max(acc_s / acc_m) >= GRAD_TAU)
 
-        dma(l, slot).wait()
+            @pl.when(live & (l + 1 < L))
+            def _():
+                dma(l + 1, lax.rem(l + 1, 2)).start()
 
-        if early_out:
-            def live(_):
-                return compute_plane(l, slot, acc_rgb, acc_d, acc_t)
+            # drain dma(l) even on the dead transition (it was started at
+            # iteration l-1): semaphores must balance for the next grid step
+            @pl.when(started == 1)
+            def _():
+                dma(l, slot).wait()
 
-            def dead(_):
-                if warped_ref is not None:
-                    warped_ref[0, pl.ds(l, 1), :, 0] = jnp.zeros(
-                        (1, 4, r8, LANES), f32)
-                return acc_rgb, acc_d, acc_t
+            def live_fn(_):
+                rgb, d, t, one_m = compute_plane(l, slot, acc_rgb, acc_d, acc_t)
+                return (rgb, d, t, acc_s * one_m,
+                        jnp.minimum(acc_m, one_m))
 
-            return lax.cond(jnp.max(acc_t) >= 1e-6, live, dead, 0)
-        return compute_plane(l, slot, acc_rgb, acc_d, acc_t)
+            def dead_fn(_):
+                zero_warped(l)
+                return acc_rgb, acc_d, acc_t, acc_s, acc_m
 
-    acc_rgb, acc_d, acc_t = lax.fori_loop(
-        0, L, plane_body, (acc_rgb0, acc_d0, acc_t0))
+            rgb, d, t, s, m = lax.cond(live, live_fn, dead_fn, 0)
+            return rgb, d, t, s, m, jnp.where(live, 1, 0).astype(jnp.int32)
+
+        ones = jnp.ones((r8, LANES), f32)
+        acc_rgb, acc_d, acc_t, _, _, _ = lax.fori_loop(
+            0, L, plane_body,
+            (acc_rgb0, acc_d0, acc_t0, ones, ones, jnp.int32(1)))
+    else:
+        def plane_body(l, carry):
+            acc_rgb, acc_d, acc_t = carry
+            slot = lax.rem(l, 2)
+
+            @pl.when(l + 1 < L)
+            def _():
+                dma(l + 1, lax.rem(l + 1, 2)).start()
+
+            dma(l, slot).wait()
+
+            if early_out:
+                def live(_):
+                    return compute_plane(l, slot, acc_rgb, acc_d, acc_t)[:3]
+
+                def dead(_):
+                    zero_warped(l)
+                    return acc_rgb, acc_d, acc_t
+
+                return lax.cond(jnp.max(acc_t) >= 1e-6, live, dead, 0)
+            return compute_plane(l, slot, acc_rgb, acc_d, acc_t)[:3]
+
+        acc_rgb, acc_d, acc_t = lax.fori_loop(
+            0, L, plane_body, (acc_rgb0, acc_d0, acc_t0))
     color_ref[0, :, 0] = acc_rgb
     depth_ref[0, 0] = acc_d
     trans_ref[0, 0] = acc_t
@@ -793,16 +870,24 @@ def splat_plans_ok(scal, ry, plan, splat_plans) -> jnp.ndarray:
 def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
                   acc, gbuf, rxbuf, rybuf, sems, *,
                   L, tex_h, bands: FusedBands, splat: SplatPlan,
-                  wp: int, precision):
+                  wp: int, precision, trim: bool = False, tex_w: int = 0):
     """Exact transpose of ``_fwd_kernel``'s warp: per (plane, texel block),
     pixel strips splat ``d_win[(c,r), x] = sum_p hat_y[r,p] g[c,p] hat_x[x,p]``
     (one MXU contraction over the 1024 subtile pixels) into a spill-carried
     texture-row accumulator.  Same hats, same bases, same clamps as the
     forward — with ``precision=HIGHEST`` (fp32, the parity mode) the VJP is
     exact up to fp32 reassociation; the bf16 fast mode pairs DEFAULT with a
-    bf16 ``compute_dtype`` forward (Mosaic lowers no HIGH/bf16x3 on TPU)."""
+    bf16 ``compute_dtype`` forward (Mosaic lowers no HIGH/bf16x3 on TPU).
+
+    ``trim`` emits d_tex UNPADDED (r4 traffic fix): the all-pad bottom block
+    is never run (grid dim is ``n_blocks - 1``), the pad-top block (exactly
+    one BLK, ``OUT_PAD_TOP == BLK``) maps onto out block 0 and is overwritten
+    by the first texture block's consecutive visit, and the PAD left lanes
+    are removed by a cyclic lane roll before the write — no post-kernel
+    [OUT_PAD_TOP:, PAD:] slice copy (~4 GB at 96 planes x 1024^2)."""
     d_y, b_xp = bands.d_y, bands.b_x
     n_ps, n_blocks = splat.n_ps, splat.n_blocks
+    nb_run = n_blocks - 1 if trim else n_blocks
     rw = STRIP + d_y
     rwp = win_rows(rw)
     acc_r = BLK + rwp + 8
@@ -822,8 +907,8 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
     iota_r = lax.broadcasted_iota(jnp.int32, (rwp, 8, LANES), 0).astype(f32)
 
     def dma(step, slot):
-        l = step // n_blocks
-        b = lax.rem(step, n_blocks)
+        l = step // nb_run
+        b = lax.rem(step, nb_run)
         ps = ps_ref[vi, l, b]
         return [
             pltpu.make_async_copy(
@@ -840,7 +925,7 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
                 sems.at[slot, 2]),
         ]
 
-    step0 = li * n_blocks + bi
+    step0 = li * nb_run + bi
     slot = lax.rem(step0, 2)
 
     @pl.when(step0 == 0)
@@ -848,7 +933,7 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
         for c in dma(step0, slot):
             c.start()
 
-    @pl.when(step0 + 1 < L * n_blocks)
+    @pl.when(step0 + 1 < L * nb_run)
     def _():
         for c in dma(step0 + 1, lax.rem(step0 + 1, 2)):
             c.start()
@@ -935,7 +1020,15 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
 
     lax.fori_loop(0, n_ps, strip_body, 0)
 
-    out_ref[0, 0] = acc[:, :BLK, :]
+    if trim:
+        # drop the PAD left lanes with a cyclic roll (arbitrary-offset lane
+        # slices don't lower; the wrapped tail lands beyond tex_w, sliced
+        # statically) — the pad-top block's write is overwritten by the
+        # first texture block's consecutive visit to the same out index
+        rolled = pltpu.roll(acc[:, :BLK, :], wp - PAD, 2)
+        out_ref[0, 0] = rolled[:, :, :tex_w]
+    else:
+        out_ref[0, 0] = acc[:, :BLK, :]
     # spill-carry: rows beyond this block belong to the next one
     tail = acc[:, BLK:acc_r, :]
     acc[:, :acc_r - BLK, :] = tail
@@ -967,14 +1060,33 @@ def warp_splat(
     g_flat = d_samp_flat.reshape(v * l_planes, 4, n_strips, r8, LANES)
     bases = splat_bases(scal, ry_rowmajor, tex_h, splat.n_ps, splat.n_blocks)
 
+    # trim: emit d_tex unpadded straight from the kernel (see _splat_kernel).
+    # Needs lane-aligned widths, BLK-aligned rows, and the structural
+    # OUT_PAD_TOP == BLK identity (pad-top folds into exactly one block).
+    trim = (tex_w % LANES == 0 and tex_h % BLK == 0
+            and OUT_PAD_TOP == BLK and tex_w + PAD <= wp)
     kernel = functools.partial(
         _splat_kernel, L=l_planes, tex_h=tex_h, bands=bands, splat=splat,
-        wp=wp, precision=precision)
+        wp=wp, precision=precision, trim=trim, tex_w=tex_w)
+    if trim:
+        nb_run = splat.n_blocks - 1
+        out_spec = pl.BlockSpec(
+            (1, 1, 4, BLK, tex_w),
+            lambda vi, li, bi, sref: (vi, li, 0, jnp.maximum(bi - 1, 0), 0))
+        out_shape = jax.ShapeDtypeStruct(
+            (v, l_planes, 4, tex_h, tex_w), jnp.float32)
+    else:
+        nb_run = splat.n_blocks
+        out_spec = pl.BlockSpec(
+            (1, 1, 4, BLK, wp),
+            lambda vi, li, bi, sref: (vi, li, 0, bi, 0))
+        out_shape = jax.ShapeDtypeStruct(
+            (v, l_planes, 4, splat.n_blocks * BLK, wp), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(v, l_planes, splat.n_blocks),
+            grid=(v, l_planes, nb_run),
             in_specs=[
                 pl.BlockSpec((1, l_planes, 6),
                              lambda vi, li, bi, sref: (vi, 0, 0),
@@ -983,9 +1095,7 @@ def warp_splat(
                 pl.BlockSpec(memory_space=pl.ANY),   # ry_flat
                 pl.BlockSpec(memory_space=pl.ANY),   # g_flat
             ],
-            out_specs=pl.BlockSpec(
-                (1, 1, 4, BLK, wp),
-                lambda vi, li, bi, sref: (vi, li, 0, bi, 0)),
+            out_specs=out_spec,
             scratch_shapes=[
                 pltpu.VMEM((4, BLK + rwp + 8, wp), jnp.float32),
                 pltpu.VMEM((1, 4, 2 * splat.n_ps, r8, LANES), jnp.float32),
@@ -994,14 +1104,15 @@ def warp_splat(
                 pltpu.SemaphoreType.DMA((2, 3)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (v, l_planes, 4, splat.n_blocks * BLK, wp), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(bases, scal, rx_flat, ry_flat, g_flat)
+    if trim:
+        return out
     return out[:, :, :, OUT_PAD_TOP:OUT_PAD_TOP + tex_h, PAD:PAD + tex_w]
 
 
@@ -1414,7 +1525,9 @@ def composite_bwd(warped, delta, g_color, g_depth, g_trans, eps: float = EPS):
 
 
 def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
-                          out_ref, t_ref, *, L, eps, has_gd, has_gt):
+                          out_ref, t_ref, *maybe_m, L, eps, has_gd, has_gt,
+                          grad_tau=None):
+    m_ref = maybe_m[0] if maybe_m else None
     """Per (view, pixel block): the composite backward as two in-register
     plane passes — forward transmittance products into a [L, rows, 128]
     scratch, then a back-to-front suffix accumulation emitting d_rgba.
@@ -1431,8 +1544,11 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
     gc1 = gc_ref[0, 1, 0]
     gc2 = gc_ref[0, 2, 0]
 
-    def pass1(l, t):
+    def pass1(l, carry):
+        t, m = carry
         t_ref[l] = t
+        if m_ref is not None:
+            m_ref[l] = m
         a = warped_ref[0, l, 3, 0]
         # max(1-a, 0) + eps, NOT 1-a+eps: the compiler reassociates the
         # latter to (1+eps)-a which rounds to exactly 0 at a=1 (fp32 can't
@@ -1440,9 +1556,11 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
         # is equal for a <= 1 and also guards the a = 1+delta interpolation
         # overshoot of the bf16x3 warp (delta ~ 1e-5), where dividing by a
         # signed near-zero would inject an O(1) d_alpha error.
-        return t * (jnp.maximum(1.0 - a, 0.0) + eps)
+        one_m = jnp.maximum(1.0 - a, 0.0) + eps
+        return t * one_m, jnp.minimum(m, one_m) if m_ref is not None else m
 
-    t_total = lax.fori_loop(0, L, pass1, jnp.ones((rows, LANES), f32))
+    t_total, _ = lax.fori_loop(
+        0, L, pass1, (jnp.ones((rows, LANES), f32), jnp.ones((rows, LANES), f32)))
 
     gt_term = None
     if has_gt:
@@ -1463,6 +1581,14 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
         d_alpha = t_excl * e - u / one_m
         if has_gt:
             d_alpha = d_alpha - gt_term / one_m
+        if m_ref is not None:
+            # grad-safe sparsity (see _fwd_kernel's "grad" early-out): where
+            # S = T_excl / min-factor < tau, every cotangent of this plane is
+            # bounded by ~tau — zero them EXACTLY so the splat's per-subtile
+            # live check skips the plane's hats + matmul entirely
+            live_px = (t_excl / m_ref[l]) >= grad_tau
+            w = jnp.where(live_px, w, 0.0)
+            d_alpha = jnp.where(live_px, d_alpha, 0.0)
         out_ref[0, l, 0, 0] = w * gc0
         out_ref[0, l, 1, 0] = w * gc1
         out_ref[0, l, 2, 0] = w * gc2
@@ -1474,13 +1600,17 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
 
 def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
                          eps: float = EPS, interpret: bool = False,
-                         block_rows: int = 32):
+                         block_rows: int = 32, grad_tau=None):
     """Pallas composite backward over subtile-flat stacks.
 
     warped_f [V, L, 4, NS, R8, 128]; qf [V, NS, R8, 128];
     gc [V, 3, NS, R8, 128]; gd/gt optional [V, NS, R8, 128]; scal [V, L, 6].
     Returns d_samp [V, L, 4, NS, R8, 128] — the drop-in equivalent of
     reshaping through :func:`composite_bwd` (oracle-tested).
+
+    ``grad_tau``: enable grad-safe sparsity — cotangents of planes whose
+    ``S = T_excl / min-factor`` is below tau are zeroed exactly (their true
+    magnitude is bounded by ~tau; the zeros let the splat skip them).
     """
     v, l_planes = warped_f.shape[0], warped_f.shape[1]
     ns, r8 = warped_f.shape[3], warped_f.shape[4]
@@ -1498,7 +1628,11 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
     gtr = zero if gt is None else gt.reshape(v, nb, block_rows, LANES)
 
     kernel = functools.partial(_composite_bwd_kernel, L=l_planes, eps=eps,
-                               has_gd=gd is not None, has_gt=gt is not None)
+                               has_gd=gd is not None, has_gt=gt is not None,
+                               grad_tau=grad_tau)
+    scratch = [pltpu.VMEM((l_planes, block_rows, LANES), jnp.float32)]
+    if grad_tau is not None:
+        scratch.append(pltpu.VMEM((l_planes, block_rows, LANES), jnp.float32))
     px = lambda vi, si: (vi, si, 0, 0)
     stack = pl.BlockSpec((1, l_planes, 4, 1, block_rows, LANES),
                          lambda vi, si: (vi, 0, 0, si, 0, 0))
@@ -1519,9 +1653,7 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
                 field,
             ],
             out_specs=stack,
-            scratch_shapes=[
-                pltpu.VMEM((l_planes, block_rows, LANES), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (v, l_planes, 4, nb, block_rows, LANES), jnp.float32),
@@ -1657,7 +1789,8 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
                         interpret: bool = False,
                         precision=lax.Precision.HIGHEST,
                         compute_dtype=None,
-                        composite_backend: str = "pallas"):
+                        composite_backend: str = "pallas",
+                        grad_sparsity: bool = True):
     """Build the fused MPI renderer with its exact custom VJP.
 
     ``plan`` is a tuple of ``(lo, hi, FusedBands)`` (see
@@ -1690,14 +1823,17 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
         return color, depth, trans
 
     def fn_fwd(rgba, dhw, ray_dir, eye_pos, z_dir):
-        # NO early-out on the grad path: a visible occluder's alpha gradient
-        # needs the composite of the planes BEHIND it at O(1) —
-        # d alpha_l = T_l * (e_l - sum_m>l a_m e_m prod(1-a_k+eps)) — so
-        # skipping fully-occluded planes corrupts d_alpha of near-opaque
-        # planes (forward contributions are T-weighted; gradients are not)
+        # The plain T-threshold early-out is WRONG on the grad path: a
+        # visible occluder's alpha gradient needs the composite of the planes
+        # BEHIND it at O(1) — the u/(1-a+eps) division amplifies a skipped
+        # plane's contribution by up to 1/eps.  The "grad" mode's S-criterion
+        # (transmittance with the single most opaque factor removed) bounds
+        # exactly that amplification, so its skips are safe to O(GRAD_TAU);
+        # grad_sparsity=False falls back to processing every plane.
         color, depth, trans, warped = render_mpi_fused_fwd(
             rgba, dhw, ray_dir, eye_pos, z_dir, plan,
-            early_out=False, eps=eps, interpret=interpret,
+            early_out="grad" if grad_sparsity else False,
+            eps=eps, interpret=interpret,
             precision=precision, compute_dtype=compute_dtype)
         return (color, depth, trans), (warped, dhw, ray_dir, eye_pos, z_dir)
 
@@ -1716,8 +1852,9 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
         gd6 = None if g_depth is None else flatten_pixels(g_depth[:, 0])
         gt6 = None if g_trans is None else flatten_pixels(g_trans[:, 0])
         if composite_backend == "pallas":
-            d_samp6 = composite_bwd_pallas(warped, scal, qf6, gc6, gd6, gt6,
-                                           eps, interpret=interpret)
+            d_samp6 = composite_bwd_pallas(
+                warped, scal, qf6, gc6, gd6, gt6, eps, interpret=interpret,
+                grad_tau=GRAD_TAU if grad_sparsity else None)
             d_samp = d_samp6.reshape(v, l_all, 4, -1, LANES)
         else:
             qf = qf6.reshape(v, -1, LANES)

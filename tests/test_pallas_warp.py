@@ -337,3 +337,52 @@ def test_composite_bwd_pallas_matches_xla(with_gd, with_gt):
     np.testing.assert_allclose(
         np.asarray(got.reshape(v, L, 4, -1, LANES)), np.asarray(want),
         rtol=2e-5, atol=2e-5)
+
+
+def test_grad_sparsity_skips_doubly_occluded_planes_exactly():
+    """Grad-safe occlusion sparsity (r4): behind TWO opaque planes the
+    S = T/min-factor criterion kills plane gradients (S <= ~eps there),
+    while ONE opaque plane must not trigger it (the amplified behind-
+    composite term is O(1)).  Grads must stay allclose to the oracle and
+    the doubly-occluded planes' cotangents must be exact zeros."""
+    from gmpi_tpu.core.renderer import render_slab_partial
+    from gmpi_tpu.ops.pallas_warp import (composite_bwd_pallas, flatten_pixels,
+                                          make_fused_renderer,
+                                          plan_fused_render, plan_splat)
+
+    L, res = 5, 256
+    geom, ray_dir, eye, z_dir = _setup(L, res)
+    dhw = jnp.asarray(geom.dhw)
+    scal = plane_affine(dhw, eye[0], res, res)[None]
+    rx, ry, q = ray_fields(ray_dir, z_dir)
+    plan = plan_fused_render(scal, rx, ry)
+    splat = plan_splat(scal, ry, plan, res)
+    plan_t = tuple((int(a), int(b), c) for a, b, c in plan)
+    fn = make_fused_renderer(plan_t, tuple(splat), res, res,
+                             early_out=True, interpret=True)
+    rng = np.random.default_rng(3)
+    rgba = rng.random((1, L, 4, res, res)).astype(np.float32)
+    rgba[:, 0, 3] = 1.0   # two fully opaque near planes -> S collapses to
+    rgba[:, 1, 3] = 1.0   # ~eps for planes 2..4
+    rgba = jnp.asarray(rgba)
+    gc = jnp.asarray(rng.standard_normal((1, 3, res, res)).astype(np.float32))
+
+    g = jax.grad(lambda x: jnp.sum(fn(x, dhw, ray_dir, eye, z_dir)[0] * gc))(rgba)
+    go = jax.grad(lambda x: jnp.sum(
+        render_slab_partial(x, geom.dhw, ray_dir, eye, z_dir)[0] * gc))(rgba)
+    rel = float(jnp.max(jnp.abs(g - go))) / float(jnp.max(jnp.abs(go)))
+    assert rel < 1e-3, rel
+    # the doubly-occluded planes' texture gradients are exact zeros
+    # (their oracle values are <= eps-scale, i.e. ~1e-10 relative)
+    assert float(jnp.max(jnp.abs(g[:, 2:]))) == 0.0
+
+    # and the composite backward zeroes their warped-sample cotangents
+    qf = flatten_pixels(q)
+    gc6 = flatten_pixels(gc)
+    warped = jnp.asarray(rng.random(
+        (1, L, 4, res // 16, res // 64 * 8, 128)).astype(np.float32))
+    warped = warped.at[:, 0, 3].set(1.0).at[:, 1, 3].set(1.0)
+    d6 = composite_bwd_pallas(warped, scal, qf, gc6, None, None,
+                              interpret=True, grad_tau=1e-7)
+    assert float(jnp.max(jnp.abs(d6[:, 2:]))) == 0.0
+    assert float(jnp.max(jnp.abs(d6[:, 0]))) > 0.0

@@ -96,39 +96,55 @@ def main():
     rxf, ryf, qf = flatten_pixels(rx), flatten_pixels(ry), flatten_pixels(q)
     gc6 = flatten_pixels(cot)
 
+    from gmpi_tpu.ops.pallas_warp import GRAD_TAU
+
     res = {}
     res["fwd_no_residual"] = timed_ingraph(
         lambda x: fn(x, dhw, ray_dir, eye, z_dir)[0], rgba, "fwd (no residual)")
-    res["fwd_with_residual"] = timed_ingraph(
+    res["fwd_res_sparse"] = timed_ingraph(
+        lambda x: render_mpi_fused_fwd(
+            x, dhw, ray_dir, eye, z_dir, plan, early_out="grad",
+            precision=PREC)[3],
+        rgba, "fwd (+residual, grad-sparse)")
+    res["fwd_res_dense"] = timed_ingraph(
         lambda x: render_mpi_fused_fwd(
             x, dhw, ray_dir, eye, z_dir, plan, early_out=False,
             precision=PREC)[3],
-        rgba, "fwd (+warped residual, no early-out)")
+        rgba, "fwd (+residual, dense)")
 
-    # composite backward on a synthetic warped stack (subtile-flat layout)
-    warped = jax.jit(lambda k: jax.random.uniform(
-        k, (1, N_PLANES, 4, RES // STRIP, RES // 64 * 8, LANES),
-        jnp.float32))(k3)
-    res["composite_bwd_pallas"] = timed_ingraph(
-        lambda w: composite_bwd_pallas(w, scal, qf, gc6, None, None),
-        warped, "composite_bwd (pallas)")
+    # phase inputs are the REAL intermediates (uniform-random warped would
+    # hide the grad-sparsity zeros the sparse splat skips on)
+    warped = jax.jit(lambda x: render_mpi_fused_fwd(
+        x, dhw, ray_dir, eye, z_dir, plan, early_out="grad",
+        precision=PREC)[3])(rgba)
+    live = float(jnp.mean(jnp.any(warped != 0.0, axis=(2, 4, 5))))
+    print(f"# live (plane, strip) fraction after grad early-out: {live:.3f}",
+          flush=True)
+    res["composite_bwd_sparse"] = timed_ingraph(
+        lambda w: composite_bwd_pallas(w, scal, qf, gc6, None, None,
+                                       grad_tau=GRAD_TAU),
+        warped, "composite_bwd (pallas, sparse)")
+    d6 = jax.jit(lambda w: composite_bwd_pallas(
+        w, scal, qf, gc6, None, None, grad_tau=GRAD_TAU))(warped)
 
     def splat_all(d6):
         parts = []
         for (lo, hi, bands), spl in zip(plan, splat_plan):
             parts.append(warp_splat(d6[:, lo:hi], rxf, ryf, ry, scal[:, lo:hi],
                                     bands, spl, TEX, TEX, precision=PREC))
-        return jnp.concatenate(parts, axis=1)
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
-    res["splat"] = timed_ingraph(splat_all, warped, "splat (bwd warp)")
+    res["splat_sparse"] = timed_ingraph(splat_all, d6, "splat (sparse cotangent)")
 
     res["grad_e2e"] = timed_ingraph(
         jax.grad(lambda x: jnp.sum(fn(x, dhw, ray_dir, eye, z_dir)[0] * cot)),
         rgba, "fwd+bwd e2e")
+    out_extra = {"live_fraction": round(live, 4)}
 
     out = {k: round(v * 1000, 1) for k, v in res.items()}
+    out.update(out_extra)
     out["sum_of_parts_ms"] = round(
-        (res["fwd_with_residual"] + res["composite_bwd_pallas"] + res["splat"]) * 1000, 1)
+        (res["fwd_res_sparse"] + res["composite_bwd_sparse"] + res["splat_sparse"]) * 1000, 1)
     out["mpix_per_s"] = round(RES * RES / 1e6 / res["grad_e2e"], 3)
     out["planes"] = N_PLANES
     out["res"] = RES

@@ -63,7 +63,8 @@ def main():
         r1_remat=args.r1_remat,
         worst_view_render_res=args.worst_view_res,
         select_worst_view=not args.no_worst_view,
-        use_fused_renderer=args.fused,
+        # True forces fused; default None = auto (fused on accelerators)
+        use_fused_renderer=True if args.fused else None,
     )
     cfg = dataclasses.replace(cfg, hparams=hp, train=tr)
 
