@@ -71,6 +71,8 @@ class FusedBands(NamedTuple):
 
 SUBW = 64          # pixel lanes per MXU subtile (16 rows x 64 cols)
 WIN_SUB = 384      # static texture-lane window per subtile before rebasing
+_FORCE_TRIM = None  # perf-probe override of warp_splat's trim auto-detect
+_SPLAT_BACKEND = None  # None=auto, "fat", "classic" (perf probes/tests)
 
 
 def win_rows(rw: int) -> int:
@@ -252,11 +254,17 @@ def plan_fused_render(scal, rx, ry, margin: int = 2, max_chunks: int = 14,
     sx, sy, sys_, sxa = _plane_spans(scal, rx, ry)
     n_l = len(sx)
     if max_chunk_planes is None:
-        # double-buffered [L, 4, STRIP, w] fp32 warped block + ~12 MB for
-        # texture DMA buffers, pixel blocks and Mosaic slack under the
-        # 100 MB vmem_limit_bytes
+        # measured on v5e (tools/probe_chunk_size.py, r4): the fused fwd
+        # degrades monotonically with planes-per-call — 12 -> 35.7 ms,
+        # 24 -> 52 ms, 95 -> 113 ms dense at 96x1024^2 — because large
+        # warped out blocks flush at a fraction of HBM bandwidth.  12 is
+        # the sweet spot; chunk-boundary slices are free since the kernels
+        # index tex_pad/d_samp through their lo-offset DMA.  The VMEM
+        # bound (double-buffered [L, 4, STRIP, w] warped block within the
+        # 100 MB limit) caps it for narrow images.
         w_img = np.asarray(rx).shape[-1]
-        max_chunk_planes = max(1, (88 * 1024 * 1024) // (2 * 4 * STRIP * w_img * 4))
+        vmem_cap = max(1, (88 * 1024 * 1024) // (2 * 4 * STRIP * w_img * 4))
+        max_chunk_planes = min(12, vmem_cap)
 
     def chunk_cost(lo, hi, ov):
         # MXU-path per-plane cost model: hat builds scale with the subtile
@@ -408,12 +416,12 @@ def unflatten_pixels(y, h, w):
 
 
 def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
-                tex_ref,
-                color_ref, depth_ref, trans_ref, *rest,
+                *rest,
                 L, tex_h, tex_w, pad_bot: int,
                 bands: FusedBands, early_out: bool, eps: float,
                 precision=lax.Precision.HIGHEST, compute_dtype=None,
-                with_warped: bool = True):
+                with_warped: bool = True, lo: int = 0, l_total=None,
+                grad_carry: bool = False):
     """Fused warp+composite, MXU formulation.
 
     Per (plane, 16x64 pixel subtile): slice + diagonally rebase a texture
@@ -426,11 +434,26 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
     (HIGH/bf16x3 raises NotImplementedError at lowering, observed on v5e);
     the bf16 fast mode pairs ``compute_dtype=bf16`` with DEFAULT.
     """
+    # positional layout: [sin, min] (grad_carry) | tex | color, depth, trans,
+    # [s_out, m_out] (grad_carry), [warped] | buf, sems
+    rest = list(rest)
+    if grad_carry:
+        sin_ref, min_ref = rest.pop(0), rest.pop(0)
+    else:
+        sin_ref = min_ref = None
+    tex_ref, color_ref, depth_ref, trans_ref = rest[:4]
+    rest = rest[4:]
+    if grad_carry:
+        s_ref, m_ref = rest.pop(0), rest.pop(0)
+    else:
+        s_ref = m_ref = None
     if with_warped:
         warped_ref, buf, sems = rest
     else:
         buf, sems = rest
         warped_ref = None
+    if l_total is None:
+        l_total = L
     d_y, by_pad, b_xp = bands.d_y, bands.by_pad, bands.b_x
     rw = STRIP + d_y
     rwp = win_rows(rw)   # 8-aligned window start + rem<8 slack (no roll)
@@ -472,19 +495,34 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
         return pl.multiple_of((y0 // 8) * 8, 8)
 
     def dma(l, slot):
+        # lo/l_total: the texture stack holds ALL planes (chunked callers
+        # index their slice here instead of materializing tex_pad[:, lo:hi])
         y0 = y_lo_aligned(l)
         return pltpu.make_async_copy(
-            tex_ref.at[pl.ds(vi * L + l, 1), :, pl.ds(y0, by_pad), :],
+            tex_ref.at[pl.ds(vi * l_total + lo + l, 1), :, pl.ds(y0, by_pad), :],
             buf.at[:, :, pl.ds(slot * by_pad, by_pad), :],
             sems.at[slot],
         )
-
-    dma(0, 0).start()
 
     # over-compositing continues from the previous (nearer) plane slab
     acc_rgb0 = cin_ref[0, :, 0]
     acc_d0 = din_ref[0, 0]
     acc_t0 = tin_ref[0, 0]
+    if grad_carry:
+        # S/M occlusion state carried ACROSS chunks (chunk-local state made
+        # the skip useless for chunked plans: every chunk restarted S = 1,
+        # so planes occluded by an earlier chunk were never skipped)
+        acc_s0 = sin_ref[0, 0]
+        acc_m0 = min_ref[0, 0]
+        live0 = jnp.max(acc_s0 / acc_m0) >= GRAD_TAU
+
+        @pl.when(live0)
+        def _():
+            dma(0, 0).start()
+    else:
+        acc_s0 = acc_m0 = None
+        live0 = None
+        dma(0, 0).start()
 
     def compute_plane(l, slot, acc_rgb, acc_d, acc_t):
         # NOTE: ``alpha`` is also inspected by the grad-safe early-out
@@ -620,10 +658,12 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
             rgb, d, t, s, m = lax.cond(live, live_fn, dead_fn, 0)
             return rgb, d, t, s, m, jnp.where(live, 1, 0).astype(jnp.int32)
 
-        ones = jnp.ones((r8, LANES), f32)
-        acc_rgb, acc_d, acc_t, _, _, _ = lax.fori_loop(
+        acc_rgb, acc_d, acc_t, acc_s, acc_m, _ = lax.fori_loop(
             0, L, plane_body,
-            (acc_rgb0, acc_d0, acc_t0, ones, ones, jnp.int32(1)))
+            (acc_rgb0, acc_d0, acc_t0, acc_s0, acc_m0,
+             jnp.where(live0, 1, 0).astype(jnp.int32)))
+        s_ref[0, 0] = acc_s
+        m_ref[0, 0] = acc_m
     else:
         def plane_body(l, carry):
             acc_rgb, acc_d, acc_t = carry
@@ -668,6 +708,7 @@ def warp_composite_fwd(
     precision=lax.Precision.HIGHEST,
     compute_dtype=None,     # bf16: half texture DMA + hat vregs, fp32 accum
     with_warped: bool = True,   # False: skip the VJP residual (inference)
+    lo: int = 0,            # first plane of this chunk within tex_pad
 ):
     """Slab partials + warped residual for one plane chunk.
 
@@ -677,10 +718,18 @@ def warp_composite_fwd(
     chaining — lets ``early_out`` skip occluded far slabs); without it,
     partials start fresh and combine associatively via ``combine_segments``.
 
+    ``tex_pad`` may hold MORE planes than this chunk renders: ``scal``
+    defines the chunk (its plane count) and ``lo`` its offset into the
+    texture stack — the kernel's strided DMA indexes the slice, so chunked
+    callers never materialize ``tex_pad[:, lo:hi]`` (an ~L*17 MB copy per
+    chunk boundary at 1024^2 that XLA cannot fuse away).
+
     Returns (color_pre [V,3,NS,R8,128], depth_pre [V,NS,R8,128],
     trans [V,NS,R8,128], warped [V,L,4,NS,R8,128]).
     """
-    v, l_planes = tex_pad.shape[0], tex_pad.shape[1]
+    v, l_total = tex_pad.shape[0], tex_pad.shape[1]
+    l_planes = scal.shape[1]
+    assert lo + l_planes <= l_total, (lo, l_planes, l_total)
     tex_h = tex_pad.shape[3] - PADY_TOP - pad_bot
     tex_w = tex_h  # square textures; width padding beyond Tw+PAD is zeros
     assert bands.by_pad <= pad_bot, (bands, pad_bot)
@@ -688,53 +737,67 @@ def warp_composite_fwd(
     assert r8 % 8 == 0 and rx.shape[3] == LANES, rx.shape
     assert bands.b_x > 0, "bands predate the MXU kernel; re-run planning"
 
-    tex_flat = tex_pad.reshape(v * l_planes, 4, *tex_pad.shape[3:])
+    tex_flat = tex_pad.reshape(v * l_total, 4, *tex_pad.shape[3:])
     if carry is None:
         cin = jnp.zeros((v, 3, n_strips, r8, LANES), jnp.float32)
         din = jnp.zeros((v, n_strips, r8, LANES), jnp.float32)
         tin = jnp.ones((v, n_strips, r8, LANES), jnp.float32)
-    else:
+    elif early_out == "grad" and len(carry) == 3:
         cin, din, tin = carry
+        carry = None  # fall through to fresh S/M below
+    else:
+        cin, din, tin = carry[:3]
+    grad_carry = early_out == "grad"
+    if grad_carry:
+        if carry is not None and len(carry) == 5:
+            sin, min_ = carry[3], carry[4]
+        else:
+            sin = jnp.ones((v, n_strips, r8, LANES), jnp.float32)
+            min_ = jnp.ones((v, n_strips, r8, LANES), jnp.float32)
 
     kernel = functools.partial(
         _fwd_kernel, L=l_planes, tex_h=tex_h, tex_w=tex_w, pad_bot=pad_bot,
         bands=bands, early_out=early_out, eps=eps, precision=precision,
-        compute_dtype=compute_dtype, with_warped=with_warped)
+        compute_dtype=compute_dtype, with_warped=with_warped,
+        lo=lo, l_total=l_total, grad_carry=grad_carry)
 
     grid = (v, n_strips)
+    px = lambda vi, si: (vi, si, 0, 0)
+    pxspec = pl.BlockSpec((1, 1, r8, LANES), px)
+    cspec = pl.BlockSpec((1, 3, 1, r8, LANES), lambda vi, si: (vi, 0, si, 0, 0))
+    pxshape = jax.ShapeDtypeStruct((v, n_strips, r8, LANES), jnp.float32)
     out_shape = [
         jax.ShapeDtypeStruct((v, 3, n_strips, r8, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((v, n_strips, r8, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((v, n_strips, r8, LANES), jnp.float32),
+        pxshape,
+        pxshape,
     ]
-    px = lambda vi, si: (vi, si, 0, 0)
-    cspec = pl.BlockSpec((1, 3, 1, r8, LANES), lambda vi, si: (vi, 0, si, 0, 0))
-    out_specs = [
-        cspec,
-        pl.BlockSpec((1, 1, r8, LANES), px),
-        pl.BlockSpec((1, 1, r8, LANES), px),
-    ]
+    out_specs = [cspec, pxspec, pxspec]
+    if grad_carry:
+        out_shape += [pxshape, pxshape]
+        out_specs += [pxspec, pxspec]
     if with_warped:
         out_shape.append(jax.ShapeDtypeStruct(
             (v, l_planes, 4, n_strips, r8, LANES), jnp.float32))
         out_specs.append(pl.BlockSpec((1, l_planes, 4, 1, r8, LANES),
                                       lambda vi, si: (vi, 0, 0, si, 0, 0)))
+    in_specs = [
+        pl.BlockSpec((1, l_planes, 6), lambda vi, si: (vi, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pxspec, pxspec, pxspec,
+        cspec, pxspec, pxspec,
+    ]
+    inputs = [scal, rx, ry, q, cin, din, tin]
+    if grad_carry:
+        in_specs += [pxspec, pxspec]
+        inputs += [sin, min_]
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    inputs.append(tex_flat)
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, l_planes, 6), lambda vi, si: (vi, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, r8, LANES), px),
-                pl.BlockSpec((1, 1, r8, LANES), px),
-                pl.BlockSpec((1, 1, r8, LANES), px),
-                cspec,
-                pl.BlockSpec((1, 1, r8, LANES), px),
-                pl.BlockSpec((1, 1, r8, LANES), px),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=tuple(out_specs),
             scratch_shapes=[
                 pltpu.VMEM((1, 4, 2 * bands.by_pad, tex_pad.shape[4]),
@@ -748,11 +811,14 @@ def warp_composite_fwd(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(scal, rx, ry, q, cin, din, tin, tex_flat)
-    if with_warped:
-        return outs
-    color, depth, trans = outs
-    return color, depth, trans, None
+    )(*inputs)
+    outs = list(outs)
+    color, depth, trans = outs[:3]
+    sm = tuple(outs[3:5]) if grad_carry else ()
+    warped = outs[-1] if with_warped else None
+    if grad_carry:
+        return color, depth, trans, warped, sm[0], sm[1]
+    return color, depth, trans, warped
 
 
 # ---------------------------------------------------------------------------
@@ -870,7 +936,8 @@ def splat_plans_ok(scal, ry, plan, splat_plans) -> jnp.ndarray:
 def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
                   acc, gbuf, rxbuf, rybuf, sems, *,
                   L, tex_h, bands: FusedBands, splat: SplatPlan,
-                  wp: int, precision, trim: bool = False, tex_w: int = 0):
+                  wp: int, precision, trim: bool = False, tex_w: int = 0,
+                  lo: int = 0, l_total=None):
     """Exact transpose of ``_fwd_kernel``'s warp: per (plane, texel block),
     pixel strips splat ``d_win[(c,r), x] = sum_p hat_y[r,p] g[c,p] hat_x[x,p]``
     (one MXU contraction over the 1024 subtile pixels) into a spill-carried
@@ -885,6 +952,8 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
     by the first texture block's consecutive visit, and the PAD left lanes
     are removed by a cyclic lane roll before the write — no post-kernel
     [OUT_PAD_TOP:, PAD:] slice copy (~4 GB at 96 planes x 1024^2)."""
+    if l_total is None:
+        l_total = L
     d_y, b_xp = bands.d_y, bands.b_x
     n_ps, n_blocks = splat.n_ps, splat.n_blocks
     nb_run = n_blocks - 1 if trim else n_blocks
@@ -912,7 +981,7 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
         ps = ps_ref[vi, l, b]
         return [
             pltpu.make_async_copy(
-                g_ref.at[pl.ds(vi * L + l, 1), :, pl.ds(ps, n_ps)],
+                g_ref.at[pl.ds(vi * l_total + lo + l, 1), :, pl.ds(ps, n_ps)],
                 gbuf.at[:, :, pl.ds(slot * n_ps, n_ps)],
                 sems.at[slot, 0]),
             pltpu.make_async_copy(
@@ -1035,6 +1104,230 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
     acc[:, acc_r - BLK:acc_r, :] = jnp.zeros((4, BLK, wp), f32)
 
 
+def _splat_plane_kernel(scal_ref, rx_ref, ry_ref, g_ref, out_ref,
+                        acc, gbuf, gsem, osem, *,
+                        L, tex_h, tex_w, bands: FusedBands, wp: int,
+                        rows_pad: int, precision, lo: int, l_total: int):
+    """Fat-step splat (r4 redesign): one PLANE per grid step.
+
+    The block-partitioned splat (``_splat_kernel``) measured DMA/fixed-cost
+    bound on v5e: 1710 grid steps x ~38 us regardless of compute (its
+    rx/ry/g strip bands re-DMA ~2x per block visit, 3.1 GB of redundant
+    reads), and liveness skipping saved nothing.  Here the full-texture
+    accumulator lives in VMEM (no blocks, no spill-carry, no splat_bases),
+    rx/ry stay RESIDENT per view as Pallas blocks, the plane's cotangent
+    streams in per-strip (read exactly once), and the finished plane
+    gradient leaves via ONE manual async copy per step, double-buffered
+    across accumulators so the flush overlaps the next plane's compute.
+    Same hats, bases, clamps, and matmul as ``_splat_kernel`` — the exact
+    transpose of the forward warp.
+    """
+    d_y, b_xp = bands.d_y, bands.b_x
+    rw = STRIP + d_y
+    rwp = win_rows(rw)
+    w_add = 384
+    f32 = jnp.float32
+    vi = pl.program_id(0)
+    li = pl.program_id(1)
+    n_views = pl.num_programs(0)
+    step = vi * L + li
+    total = n_views * L
+    slot = lax.rem(step, 2)
+    ns_total = rx_ref.shape[1]
+    r8 = rx_ref.shape[2]
+    n_sub = r8 // 8
+
+    sub_i = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    lane8 = lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    i_blk = (sub_i + 8 * (lane8 // SUBW)).astype(f32)
+    iota_x = lax.broadcasted_iota(jnp.int32, (b_xp, 8, LANES), 0).astype(f32)
+    iota_r = lax.broadcasted_iota(jnp.int32, (rwp, 8, LANES), 0).astype(f32)
+
+    def dma_g(n, gslot):
+        return pltpu.make_async_copy(
+            g_ref.at[pl.ds(vi * l_total + lo + li, 1), :, pl.ds(n, 1)],
+            gbuf.at[:, :, pl.ds(gslot, 1)],
+            gsem.at[gslot])
+
+    def flush(s, oslot):
+        vi_s = s // L
+        li_s = lax.rem(s, L)
+        return pltpu.make_async_copy(
+            acc.at[pl.ds(oslot, 1), :, pl.ds(OUT_PAD_TOP, tex_h), :],
+            out_ref.at[pl.ds(vi_s * L + li_s, 1)],
+            osem.at[oslot])
+
+    dma_g(0, 0).start()
+
+    # the flush started from acc[slot] two steps ago must land before the
+    # accumulator is reset for this plane
+    @pl.when(step >= 2)
+    def _():
+        flush(step - 2, slot).wait()
+
+    acc[pl.ds(slot, 1)] = jnp.zeros((1, 4, rows_pad, wp), f32)
+
+    ax = scal_ref[0, li, 0]
+    bx = scal_ref[0, li, 1]
+    ay = scal_ref[0, li, 2]
+    by = scal_ref[0, li, 3]
+
+    def strip_body(n, _):
+        gslot = lax.rem(n, 2)
+
+        @pl.when(n + 1 < ns_total)
+        def _():
+            dma_g(n + 1, lax.rem(n + 1, 2)).start()
+
+        dma_g(n, gslot).wait()
+
+        for st in range(n_sub):
+            rx = rx_ref[0, pl.ds(n, 1), st * 8:(st + 1) * 8][0]
+            ry = ry_ref[0, pl.ds(n, 1), st * 8:(st + 1) * 8][0]
+            fx = ax * rx + bx
+            fy = ay * ry + by
+            fx_m = jnp.where(fx < -1.0, 1e9, fx)
+            fy_m = jnp.where(fy < -1.0, 1e9, fy)
+            cx = jnp.floor(jnp.min(fx_m)).astype(jnp.int32) - 1
+            cx = jnp.clip(cx, -2, wp - PAD - b_xp)
+            ryb = jnp.floor(jnp.min(fy_m - i_blk)).astype(jnp.int32) - 1
+            oyb = ryb + OUT_PAD_TOP
+            # absolute-row validity replaces the block-ownership test: a
+            # strip whose window is entirely in the sliced-off pad (or whose
+            # rays all miss, oyb degenerate) contributes nothing real
+            valid = (oyb >= 0) & (oyb < OUT_PAD_TOP + tex_h)
+            g = gbuf[0, :, pl.ds(gslot, 1), st * 8:(st + 1) * 8, :][:, 0]
+            # grad-sparse cotangents are exact zeros for occluded planes —
+            # skip their hats/matmul/accumulate entirely
+            live = jnp.any(g != 0.0)
+
+            @pl.when(valid & live)
+            def _():
+                fx_rel = jnp.where(fx < -1.0, -1e9, fx - cx.astype(f32))
+                hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(fx_rel[None] - iota_x))
+                row8 = (oyb // 8) * 8       # 8-aligned absolute acc row
+                rem = oyb - row8
+                fy_rel = fy - ryb.astype(f32) + rem.astype(f32)
+                hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(fy_rel[None] - iota_r))
+                t_parts = [hat_y * g[c][None] for c in range(4)]
+                t_all = jnp.concatenate(t_parts, axis=0)     # [4*rwp, 8, 128]
+                if precision == "bf16x3":
+                    d_win = _dot_bf16x3(
+                        t_all.reshape(4 * rwp, 8 * LANES),
+                        hat_x.reshape(b_xp, 8 * LANES),
+                        (((1,), (1,)), ((), ())))
+                else:
+                    d_win = lax.dot_general(
+                        t_all.reshape(4 * rwp, 8 * LANES),
+                        hat_x.reshape(b_xp, 8 * LANES),
+                        (((1,), (1,)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=f32)          # [4*rwp, b_xp]
+                d_win = d_win.reshape(4, rwp, b_xp)
+                cxp = cx + PAD
+                lane0 = jnp.clip(((cxp - 64) // 128) * 128, 0, wp - w_add)
+                lane0 = pl.multiple_of(lane0, 128)
+                lr = cxp - lane0
+                wide = jnp.concatenate(
+                    [d_win, jnp.zeros((4, rwp, w_add - b_xp), f32)], axis=2)
+                wide = pltpu.roll(wide, lr, 2)
+                cur = acc[pl.ds(slot, 1), :, pl.ds(row8, rwp),
+                          pl.ds(lane0, w_add)]
+                acc[pl.ds(slot, 1), :, pl.ds(row8, rwp),
+                    pl.ds(lane0, w_add)] = cur + wide[None]
+        return 0
+
+    lax.fori_loop(0, ns_total, strip_body, 0)
+
+    flush(step, slot).start()
+    # drain: the final step waits its own flush plus the previous one
+    @pl.when(step == total - 1)
+    def _():
+        flush(step, slot).wait()
+    if total >= 2:
+        @pl.when(step == total - 1)
+        def _():
+            flush(step - 1, 1 - slot).wait()
+
+
+def warp_splat_fat(
+    d_samp_flat: jnp.ndarray,   # [V, L_total, 4, NS, R8, 128] subtile-flat
+    rx_flat: jnp.ndarray,       # [V, NS, R8, 128]
+    ry_flat: jnp.ndarray,
+    scal: jnp.ndarray,          # [V, L_chunk, 6]
+    bands: FusedBands,
+    tex_h: int,
+    tex_w: int,
+    interpret: bool = False,
+    precision=lax.Precision.HIGHEST,
+    lo: int = 0,
+):
+    """Fat-step warp transpose -> d_tex [V, L, 4, tex_h, tex_w].
+
+    See :func:`_splat_plane_kernel`.  Requires the full-texture accumulator
+    pair + resident rx/ry to fit VMEM (callers gate on
+    :func:`splat_fat_fits`); no splat plan needed.
+    """
+    v, l_total = d_samp_flat.shape[0], d_samp_flat.shape[1]
+    l_planes = scal.shape[1]
+    assert lo + l_planes <= l_total, (lo, l_planes, l_total)
+    n_strips, r8 = rx_flat.shape[1], rx_flat.shape[2]
+    wp = ((tex_w + 2 * PAD + 127) // 128) * 128
+    if wp < 512:
+        wp = 1 << (wp - 1).bit_length()
+    rows_pad = OUT_PAD_TOP + tex_h + OUT_PAD_BOT
+
+    g_flat = d_samp_flat.reshape(v * l_total, 4, n_strips, r8, LANES)
+    kernel = functools.partial(
+        _splat_plane_kernel, L=l_planes, tex_h=tex_h, tex_w=tex_w,
+        bands=bands, wp=wp, rows_pad=rows_pad, precision=precision,
+        lo=lo, l_total=l_total)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(v, l_planes),
+            in_specs=[
+                pl.BlockSpec((1, l_planes, 6), lambda vi, li: (vi, 0, 0),
+                             memory_space=pltpu.SMEM),
+                # rx/ry resident per view (index constant in li)
+                pl.BlockSpec((1, n_strips, r8, LANES),
+                             lambda vi, li: (vi, 0, 0, 0)),
+                pl.BlockSpec((1, n_strips, r8, LANES),
+                             lambda vi, li: (vi, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),   # g_flat
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, 4, rows_pad, wp), jnp.float32),
+                pltpu.VMEM((1, 4, 2, r8, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (v * l_planes, 4, tex_h, wp), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(scal, rx_flat, ry_flat, g_flat)
+    out = out.reshape(v, l_planes, 4, tex_h, wp)
+    return out[:, :, :, :, PAD:PAD + tex_w]
+
+
+def splat_fat_fits(tex_h: int, tex_w: int, n_strips: int, r8: int) -> bool:
+    """True when the fat-step splat's VMEM working set fits the budget."""
+    wp = ((tex_w + 2 * PAD + 127) // 128) * 128
+    if wp < 512:
+        wp = 1 << (wp - 1).bit_length()
+    rows_pad = OUT_PAD_TOP + tex_h + OUT_PAD_BOT
+    acc = 2 * 4 * rows_pad * wp * 4
+    resident = 2 * 2 * n_strips * r8 * LANES * 4   # rx+ry, double-buffered
+    return acc + resident + (4 << 20) < 88 * 1024 * 1024
+
+
 def warp_splat(
     d_samp_flat: jnp.ndarray,   # [V, L, 4, NS, R8, 128] subtile-flat cotangent
     rx_flat: jnp.ndarray,       # [V, NS, R8, 128]
@@ -1047,9 +1340,29 @@ def warp_splat(
     tex_w: int,
     interpret: bool = False,
     precision=lax.Precision.HIGHEST,
+    lo: int = 0,
 ):
-    """Exact warp transpose -> d_tex [V, L, 4, tex_h, tex_w] (MXU splat)."""
-    v, l_planes = d_samp_flat.shape[0], d_samp_flat.shape[1]
+    """Exact warp transpose -> d_tex [V, L, 4, tex_h, tex_w] (MXU splat).
+
+    ``d_samp_flat`` may hold MORE planes than this chunk splats: ``scal``
+    defines the chunk and ``lo`` its offset — the kernel DMA indexes the
+    slice (no ``d_samp[:, lo:hi]`` materialization at chunk boundaries).
+
+    Auto-selects the fat-step per-plane kernel (:func:`warp_splat_fat`)
+    when its VMEM working set fits — measured ~2x the block-partitioned
+    kernel on v5e; the block kernel remains the fallback for shapes whose
+    full-texture accumulator cannot live in VMEM.
+    """
+    if _SPLAT_BACKEND != "classic":
+        ns_, r8_ = rx_flat.shape[1], rx_flat.shape[2]
+        if (_SPLAT_BACKEND == "fat"
+                or splat_fat_fits(tex_h, tex_w, ns_, r8_)):
+            return warp_splat_fat(
+                d_samp_flat, rx_flat, ry_flat, scal, bands, tex_h, tex_w,
+                interpret=interpret, precision=precision, lo=lo)
+    v, l_total = d_samp_flat.shape[0], d_samp_flat.shape[1]
+    l_planes = scal.shape[1]
+    assert lo + l_planes <= l_total, (lo, l_planes, l_total)
     n_strips, r8 = rx_flat.shape[1], rx_flat.shape[2]
     wp = ((tex_w + 2 * PAD + 127) // 128) * 128
     if wp < 512:
@@ -1057,7 +1370,7 @@ def warp_splat(
     rw = STRIP + bands.d_y
     rwp = win_rows(rw)
 
-    g_flat = d_samp_flat.reshape(v * l_planes, 4, n_strips, r8, LANES)
+    g_flat = d_samp_flat.reshape(v * l_total, 4, n_strips, r8, LANES)
     bases = splat_bases(scal, ry_rowmajor, tex_h, splat.n_ps, splat.n_blocks)
 
     # trim: emit d_tex unpadded straight from the kernel (see _splat_kernel).
@@ -1065,9 +1378,12 @@ def warp_splat(
     # OUT_PAD_TOP == BLK identity (pad-top folds into exactly one block).
     trim = (tex_w % LANES == 0 and tex_h % BLK == 0
             and OUT_PAD_TOP == BLK and tex_w + PAD <= wp)
+    if _FORCE_TRIM is not None:   # perf-probe hook (tools/probe_splat_ab.py)
+        trim = trim and _FORCE_TRIM
     kernel = functools.partial(
         _splat_kernel, L=l_planes, tex_h=tex_h, bands=bands, splat=splat,
-        wp=wp, precision=precision, trim=trim, tex_w=tex_w)
+        wp=wp, precision=precision, trim=trim, tex_w=tex_w,
+        lo=lo, l_total=l_total)
     if trim:
         nb_run = splat.n_blocks - 1
         out_spec = pl.BlockSpec(
@@ -1697,14 +2013,20 @@ def render_mpi_fused_fwd(
     carry = None
     warped_parts = []
     for lo, hi, bands in plan:
-        c, d, t, w = warp_composite_fwd(
-            tex_pad[:, lo:hi], rx, ry, q, scal[:, lo:hi], bands,
+        outs = warp_composite_fwd(
+            tex_pad, rx, ry, q, scal[:, lo:hi], bands,
             early_out=early_out, eps=eps, interpret=interpret, carry=carry,
             pad_bot=pad_bot, precision=precision, compute_dtype=compute_dtype,
-            with_warped=with_warped)
-        carry = (c, d, t)
+            with_warped=with_warped, lo=lo)
+        if early_out == "grad":
+            # thread the S/M occlusion state so later chunks keep skipping
+            c, d, t, w, s, m = outs
+            carry = (c, d, t, s, m)
+        else:
+            c, d, t, w = outs
+            carry = (c, d, t)
         warped_parts.append(w)
-    color, depth, trans = carry
+    color, depth, trans = carry[:3]
     # warped stays in the subtile-flat layout (the VJP consumes it there)
     warped = jnp.concatenate(warped_parts, axis=1) if with_warped else None
     color = unflatten_pixels(color, h, w_img)
@@ -1870,9 +2192,9 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
             rxf, ryf = flatten_pixels(rx), flatten_pixels(ry)
             for (lo, hi, bands), spl in zip(plan, adj_plan):
                 parts.append(warp_splat(
-                    d_samp6[:, lo:hi], rxf, ryf, ry, scal[:, lo:hi],
+                    d_samp6, rxf, ryf, ry, scal[:, lo:hi],
                     bands, spl, tex_h, tex_w, interpret=interpret,
-                    precision=precision))
+                    precision=precision, lo=lo))
         else:
             d_samp = unflatten_pixels(
                 d_samp.reshape(v, l_all, 4, h // STRIP, -1, LANES), h, w_img)
