@@ -130,8 +130,9 @@ def main():
     def splat_all(d6):
         parts = []
         for (lo, hi, bands), spl in zip(plan, splat_plan):
-            parts.append(warp_splat(d6[:, lo:hi], rxf, ryf, ry, scal[:, lo:hi],
-                                    bands, spl, TEX, TEX, precision=PREC))
+            parts.append(warp_splat(d6, rxf, ryf, ry, scal[:, lo:hi],
+                                    bands, spl, TEX, TEX, precision=PREC,
+                                    lo=lo))
         return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
     res["splat_sparse"] = timed_ingraph(splat_all, d6, "splat (sparse cotangent)")
