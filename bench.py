@@ -176,6 +176,16 @@ def run_fused(n_planes, res, tex):
     err_g = float(jnp.max(jnp.abs(g_f - g_o)))
     allclose = err_c <= TOL * max(scale_c, 1.0) and err_g <= TOL * max(scale_g, 1.0)
 
+    # document the grad-sparsity dependence of the number: fraction of
+    # (plane, strip) blocks the S-criterion keeps live for THIS rgba
+    # (uniform-random alphas occlude after ~35 planes; real MPIs differ)
+    from gmpi_tpu.ops.pallas_warp import render_mpi_fused_fwd
+    warped = jax.jit(lambda x: render_mpi_fused_fwd(
+        x, dhw, ray_dir, eye, z_dir, plan, early_out="grad",
+        precision="bf16x3")[3])(rgba)
+    live = float(jnp.mean(jnp.any(warped != 0.0, axis=(2, 4, 5))))
+    del warped
+
     mpix = (res * res) / 1e6 / best
     return {
         "metric": f"renderer fwd+bwd Mpixels/s/chip ({n_planes} planes, {res}^2)",
@@ -186,6 +196,7 @@ def run_fused(n_planes, res, tex):
         "bands_ok": bands_ok,
         "fwd_max_rel_err": round(err_c / max(scale_c, 1e-12), 8),
         "fwd_grad_max_rel_err": round(err_g / max(scale_g, 1e-12), 8),
+        "live_fraction": round(live, 4),
         "path": "fused_pallas_mxu",
         **_roofline(best, n_planes, res, tex),
     }
