@@ -463,6 +463,9 @@ def main():
             views = _run_fused_subprocess(mode="views")
             if views is not None and views.get("bands_ok"):
                 print(json.dumps(views))
+            else:
+                import sys
+                print(f"views measurement dropped: {views}", file=sys.stderr)
         return
     # never report a number that fails its own validation (or that never
     # came back) — fall back to the tile-banded XLA formulation

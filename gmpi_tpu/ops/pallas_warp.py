@@ -75,6 +75,15 @@ _FORCE_TRIM = None  # perf-probe override of warp_splat's trim auto-detect
 _SPLAT_BACKEND = None  # None=auto, "fat", "classic" (perf probes/tests)
 
 
+def _gc_strips(ns_total: int) -> int:
+    """Cotangent strips per DMA group in the fat splat (largest of 8/4/2/1
+    dividing the strip count)."""
+    for gc in (8, 4, 2):
+        if ns_total % gc == 0:
+            return gc
+    return 1
+
+
 def win_rows(rw: int) -> int:
     """Window rows sliced per subtile: the slice start is 8-aligned (sublane
     granularity) and the diagonal base lands at row rem in [0, 8), so the
@@ -1143,10 +1152,16 @@ def _splat_plane_kernel(scal_ref, rx_ref, ry_ref, g_ref, out_ref,
     iota_x = lax.broadcasted_iota(jnp.int32, (b_xp, 8, LANES), 0).astype(f32)
     iota_r = lax.broadcasted_iota(jnp.int32, (rwp, 8, LANES), 0).astype(f32)
 
-    def dma_g(n, gslot):
+    # stream the cotangent in GC-strip groups: per-DMA issue overhead
+    # (~7 us on v5e for strided multi-run descriptors) dominated the
+    # per-strip version (6144 issues ~= 43 ms); grouping cuts issues GC-fold
+    gc = _gc_strips(ns_total)
+    n_grp = ns_total // gc
+
+    def dma_g(gi, gslot):
         return pltpu.make_async_copy(
-            g_ref.at[pl.ds(vi * l_total + lo + li, 1), :, pl.ds(n, 1)],
-            gbuf.at[:, :, pl.ds(gslot, 1)],
+            g_ref.at[pl.ds(vi * l_total + lo + li, 1), :, pl.ds(gi * gc, gc)],
+            gbuf.at[:, :, pl.ds(gslot * gc, gc)],
             gsem.at[gslot])
 
     def flush(s, oslot):
@@ -1172,72 +1187,81 @@ def _splat_plane_kernel(scal_ref, rx_ref, ry_ref, g_ref, out_ref,
     ay = scal_ref[0, li, 2]
     by = scal_ref[0, li, 3]
 
-    def strip_body(n, _):
-        gslot = lax.rem(n, 2)
+    def group_body(gi, _):
+        gslot = lax.rem(gi, 2)
 
-        @pl.when(n + 1 < ns_total)
+        @pl.when(gi + 1 < n_grp)
         def _():
-            dma_g(n + 1, lax.rem(n + 1, 2)).start()
+            dma_g(gi + 1, lax.rem(gi + 1, 2)).start()
 
-        dma_g(n, gslot).wait()
+        dma_g(gi, gslot).wait()
 
-        for st in range(n_sub):
-            rx = rx_ref[0, pl.ds(n, 1), st * 8:(st + 1) * 8][0]
-            ry = ry_ref[0, pl.ds(n, 1), st * 8:(st + 1) * 8][0]
-            fx = ax * rx + bx
-            fy = ay * ry + by
-            fx_m = jnp.where(fx < -1.0, 1e9, fx)
-            fy_m = jnp.where(fy < -1.0, 1e9, fy)
-            cx = jnp.floor(jnp.min(fx_m)).astype(jnp.int32) - 1
-            cx = jnp.clip(cx, -2, wp - PAD - b_xp)
-            ryb = jnp.floor(jnp.min(fy_m - i_blk)).astype(jnp.int32) - 1
-            oyb = ryb + OUT_PAD_TOP
-            # absolute-row validity replaces the block-ownership test: a
-            # strip whose window is entirely in the sliced-off pad (or whose
-            # rays all miss, oyb degenerate) contributes nothing real
-            valid = (oyb >= 0) & (oyb < OUT_PAD_TOP + tex_h)
-            g = gbuf[0, :, pl.ds(gslot, 1), st * 8:(st + 1) * 8, :][:, 0]
-            # grad-sparse cotangents are exact zeros for occluded planes —
-            # skip their hats/matmul/accumulate entirely
-            live = jnp.any(g != 0.0)
+        def strip_in_group(k, _k):
+            n = gi * gc + k
+            for st in range(n_sub):
+                rx = rx_ref[0, pl.ds(n, 1), st * 8:(st + 1) * 8][0]
+                ry = ry_ref[0, pl.ds(n, 1), st * 8:(st + 1) * 8][0]
+                fx = ax * rx + bx
+                fy = ay * ry + by
+                fx_m = jnp.where(fx < -1.0, 1e9, fx)
+                fy_m = jnp.where(fy < -1.0, 1e9, fy)
+                cx = jnp.floor(jnp.min(fx_m)).astype(jnp.int32) - 1
+                cx = jnp.clip(cx, -2, wp - PAD - b_xp)
+                ryb = jnp.floor(jnp.min(fy_m - i_blk)).astype(jnp.int32) - 1
+                oyb = ryb + OUT_PAD_TOP
+                # absolute-row validity replaces the block-ownership test: a
+                # strip whose window is entirely in the sliced-off pad (or
+                # whose rays all miss, oyb degenerate) contributes nothing
+                valid = (oyb >= 0) & (oyb < OUT_PAD_TOP + tex_h)
+                g = gbuf[0, :, pl.ds(gslot * gc + k, 1),
+                         st * 8:(st + 1) * 8, :][:, 0]
+                # grad-sparse cotangents are exact zeros for occluded
+                # planes — skip their hats/matmul/accumulate entirely
+                live = jnp.any(g != 0.0)
 
-            @pl.when(valid & live)
-            def _():
-                fx_rel = jnp.where(fx < -1.0, -1e9, fx - cx.astype(f32))
-                hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(fx_rel[None] - iota_x))
-                row8 = (oyb // 8) * 8       # 8-aligned absolute acc row
-                rem = oyb - row8
-                fy_rel = fy - ryb.astype(f32) + rem.astype(f32)
-                hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(fy_rel[None] - iota_r))
-                t_parts = [hat_y * g[c][None] for c in range(4)]
-                t_all = jnp.concatenate(t_parts, axis=0)     # [4*rwp, 8, 128]
-                if precision == "bf16x3":
-                    d_win = _dot_bf16x3(
-                        t_all.reshape(4 * rwp, 8 * LANES),
-                        hat_x.reshape(b_xp, 8 * LANES),
-                        (((1,), (1,)), ((), ())))
-                else:
-                    d_win = lax.dot_general(
-                        t_all.reshape(4 * rwp, 8 * LANES),
-                        hat_x.reshape(b_xp, 8 * LANES),
-                        (((1,), (1,)), ((), ())),
-                        precision=precision,
-                        preferred_element_type=f32)          # [4*rwp, b_xp]
-                d_win = d_win.reshape(4, rwp, b_xp)
-                cxp = cx + PAD
-                lane0 = jnp.clip(((cxp - 64) // 128) * 128, 0, wp - w_add)
-                lane0 = pl.multiple_of(lane0, 128)
-                lr = cxp - lane0
-                wide = jnp.concatenate(
-                    [d_win, jnp.zeros((4, rwp, w_add - b_xp), f32)], axis=2)
-                wide = pltpu.roll(wide, lr, 2)
-                cur = acc[pl.ds(slot, 1), :, pl.ds(row8, rwp),
-                          pl.ds(lane0, w_add)]
-                acc[pl.ds(slot, 1), :, pl.ds(row8, rwp),
-                    pl.ds(lane0, w_add)] = cur + wide[None]
+                @pl.when(valid & live)
+                def _():
+                    fx_rel = jnp.where(fx < -1.0, -1e9, fx - cx.astype(f32))
+                    hat_x = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(fx_rel[None] - iota_x))
+                    row8 = (oyb // 8) * 8   # 8-aligned absolute acc row
+                    rem = oyb - row8
+                    fy_rel = fy - ryb.astype(f32) + rem.astype(f32)
+                    hat_y = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(fy_rel[None] - iota_r))
+                    t_parts = [hat_y * g[c][None] for c in range(4)]
+                    t_all = jnp.concatenate(t_parts, axis=0)  # [4*rwp, 8, 128]
+                    if precision == "bf16x3":
+                        d_win = _dot_bf16x3(
+                            t_all.reshape(4 * rwp, 8 * LANES),
+                            hat_x.reshape(b_xp, 8 * LANES),
+                            (((1,), (1,)), ((), ())))
+                    else:
+                        d_win = lax.dot_general(
+                            t_all.reshape(4 * rwp, 8 * LANES),
+                            hat_x.reshape(b_xp, 8 * LANES),
+                            (((1,), (1,)), ((), ())),
+                            precision=precision,
+                            preferred_element_type=f32)       # [4*rwp, b_xp]
+                    d_win = d_win.reshape(4, rwp, b_xp)
+                    cxp = cx + PAD
+                    lane0 = jnp.clip(((cxp - 64) // 128) * 128, 0, wp - w_add)
+                    lane0 = pl.multiple_of(lane0, 128)
+                    lr = cxp - lane0
+                    wide = jnp.concatenate(
+                        [d_win, jnp.zeros((4, rwp, w_add - b_xp), f32)],
+                        axis=2)
+                    wide = pltpu.roll(wide, lr, 2)
+                    cur = acc[pl.ds(slot, 1), :, pl.ds(row8, rwp),
+                              pl.ds(lane0, w_add)]
+                    acc[pl.ds(slot, 1), :, pl.ds(row8, rwp),
+                        pl.ds(lane0, w_add)] = cur + wide[None]
+            return 0
+
+        lax.fori_loop(0, gc, strip_in_group, 0)
         return 0
 
-    lax.fori_loop(0, ns_total, strip_body, 0)
+    lax.fori_loop(0, n_grp, group_body, 0)
 
     flush(step, slot).start()
     # drain: the final step waits its own flush plus the previous one
@@ -1300,7 +1324,8 @@ def warp_splat_fat(
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, 4, rows_pad, wp), jnp.float32),
-                pltpu.VMEM((1, 4, 2, r8, LANES), jnp.float32),
+                pltpu.VMEM((1, 4, 2 * _gc_strips(n_strips), r8, LANES),
+                           jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],

@@ -39,7 +39,7 @@ def timed_ingraph(fn, x, name):
     @jax.jit
     def step(x):
         def body(i, acc):
-            out = fn(x + acc * 1e-30)
+            out = fn(x * (1.0 + acc * 1e-30))
             leaf = jax.tree_util.tree_leaves(out)[0]
             return acc + leaf.ravel()[0] * 1e-30
 

@@ -29,7 +29,7 @@ def timed(fn, x, name):
     @jax.jit
     def step(x):
         def body(i, acc):
-            out = fn(x + acc * 1e-30)
+            out = fn(x * (1.0 + acc * 1e-30))
             leaf = jax.tree_util.tree_leaves(out)[0]
             return acc + leaf.ravel()[0] * 1e-30
         return lax.fori_loop(0, INNER, body, jnp.zeros((), jnp.float32))

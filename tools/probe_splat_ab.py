@@ -26,7 +26,7 @@ def timed(fn, x, name):
     @jax.jit
     def step(x):
         def body(i, acc):
-            out = fn(x + acc * 1e-30)
+            out = fn(x * (1.0 + acc * 1e-30))
             leaf = jax.tree_util.tree_leaves(out)[0]
             return acc + leaf.ravel()[0] * 1e-30
         return lax.fori_loop(0, INNER, body, jnp.zeros((), jnp.float32))
@@ -107,6 +107,22 @@ def main():
         results[tag] = {"dense_ms": round(td * 1000, 1),
                         "sparse_ms": round(ts * 1000, 1),
                         "chunks": [(lo, hi) for lo, hi, _ in plan_t]}
+        if os.environ.get("DIAG") == "1":
+            # all-dead cotangent: measures the floor with every subtile's
+            # live-check False — if this is NOT fast, pl.when doesn't skip
+            tz = timed(splat_all, jnp.zeros_like(d6), f"splat zeros   {tag}")
+            # 1 DEFAULT dot instead of 3 (bf16x3): if MXU-bound, ~1/3 time
+            def splat_def(d):
+                parts = []
+                for (lo, hi, bands), spl in zip(plan_t, splat):
+                    parts.append(warp_splat(
+                        d, rxf, ryf, ry, scal[:, lo:hi], bands, spl,
+                        TEX, TEX, precision=lax.Precision.DEFAULT, lo=lo))
+                return (jnp.concatenate(parts, axis=1)
+                        if len(parts) > 1 else parts[0])
+            t1 = timed(splat_def, d6, f"splat 1-dot   {tag}")
+            results[tag]["zeros_ms"] = round(tz * 1000, 1)
+            results[tag]["onedot_ms"] = round(t1 * 1000, 1)
     pw._SPLAT_BACKEND = None
     print(json.dumps(results))
 
