@@ -1113,7 +1113,7 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
     acc[:, acc_r - BLK:acc_r, :] = jnp.zeros((4, BLK, wp), f32)
 
 
-def _splat_plane_kernel(scal_ref, rx_ref, ry_ref, g_ref, out_ref,
+def _splat_plane_kernel(flags_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
                         acc, gbuf, gsem, osem, *,
                         L, tex_h, tex_w, bands: FusedBands, wp: int,
                         rows_pad: int, precision, lo: int, l_total: int):
@@ -1172,7 +1172,14 @@ def _splat_plane_kernel(scal_ref, rx_ref, ry_ref, g_ref, out_ref,
             out_ref.at[pl.ds(vi_s * L + li_s, 1)],
             osem.at[oslot])
 
-    dma_g(0, 0).start()
+    # per-plane liveness (composite_bwd's grad-tau bitmap): a dead plane's
+    # cotangent is exact zeros — skip its whole DMA stream + strip loop and
+    # just flush the zeroed accumulator
+    plane_live = flags_ref[vi, lo + li] != 0
+
+    @pl.when(plane_live)
+    def _():
+        dma_g(0, 0).start()
 
     # the flush started from acc[slot] two steps ago must land before the
     # accumulator is reset for this plane
@@ -1261,7 +1268,9 @@ def _splat_plane_kernel(scal_ref, rx_ref, ry_ref, g_ref, out_ref,
         lax.fori_loop(0, gc, strip_in_group, 0)
         return 0
 
-    lax.fori_loop(0, n_grp, group_body, 0)
+    @pl.when(plane_live)
+    def _():
+        lax.fori_loop(0, n_grp, group_body, 0)
 
     flush(step, slot).start()
     # drain: the final step waits its own flush plus the previous one
@@ -1285,6 +1294,7 @@ def warp_splat_fat(
     interpret: bool = False,
     precision=lax.Precision.HIGHEST,
     lo: int = 0,
+    live_flags=None,            # [V, L_total] (>0 live); None = all live
 ):
     """Fat-step warp transpose -> d_tex [V, L, 4, tex_h, tex_w].
 
@@ -1301,6 +1311,10 @@ def warp_splat_fat(
         wp = 1 << (wp - 1).bit_length()
     rows_pad = OUT_PAD_TOP + tex_h + OUT_PAD_BOT
 
+    if live_flags is None:
+        flags = jnp.ones((v, l_total), jnp.int32)
+    else:
+        flags = (live_flags > 0).astype(jnp.int32)
     g_flat = d_samp_flat.reshape(v * l_total, 4, n_strips, r8, LANES)
     kernel = functools.partial(
         _splat_plane_kernel, L=l_planes, tex_h=tex_h, tex_w=tex_w,
@@ -1309,16 +1323,16 @@ def warp_splat_fat(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
+            num_scalar_prefetch=1,
             grid=(v, l_planes),
             in_specs=[
-                pl.BlockSpec((1, l_planes, 6), lambda vi, li: (vi, 0, 0),
+                pl.BlockSpec((1, l_planes, 6), lambda vi, li, sref: (vi, 0, 0),
                              memory_space=pltpu.SMEM),
                 # rx/ry resident per view (index constant in li)
                 pl.BlockSpec((1, n_strips, r8, LANES),
-                             lambda vi, li: (vi, 0, 0, 0)),
+                             lambda vi, li, sref: (vi, 0, 0, 0)),
                 pl.BlockSpec((1, n_strips, r8, LANES),
-                             lambda vi, li: (vi, 0, 0, 0)),
+                             lambda vi, li, sref: (vi, 0, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),   # g_flat
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -1337,7 +1351,7 @@ def warp_splat_fat(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(scal, rx_flat, ry_flat, g_flat)
+    )(flags, scal, rx_flat, ry_flat, g_flat)
     out = out.reshape(v, l_planes, 4, tex_h, wp)
     return out[:, :, :, :, PAD:PAD + tex_w]
 
@@ -1366,6 +1380,7 @@ def warp_splat(
     interpret: bool = False,
     precision=lax.Precision.HIGHEST,
     lo: int = 0,
+    live_flags=None,
 ):
     """Exact warp transpose -> d_tex [V, L, 4, tex_h, tex_w] (MXU splat).
 
@@ -1376,7 +1391,10 @@ def warp_splat(
     Auto-selects the fat-step per-plane kernel (:func:`warp_splat_fat`)
     when its VMEM working set fits — measured ~2x the block-partitioned
     kernel on v5e; the block kernel remains the fallback for shapes whose
-    full-texture accumulator cannot live in VMEM.
+    full-texture accumulator cannot live in VMEM.  ``live_flags``
+    ([V, L_total], >0 live) lets the fat kernel skip dead planes' DMA
+    streams; the block kernel ignores it (its per-subtile zero check
+    already skips their compute).
     """
     if _SPLAT_BACKEND != "classic":
         ns_, r8_ = rx_flat.shape[1], rx_flat.shape[2]
@@ -1384,7 +1402,8 @@ def warp_splat(
                 or splat_fat_fits(tex_h, tex_w, ns_, r8_)):
             return warp_splat_fat(
                 d_samp_flat, rx_flat, ry_flat, scal, bands, tex_h, tex_w,
-                interpret=interpret, precision=precision, lo=lo)
+                interpret=interpret, precision=precision, lo=lo,
+                live_flags=live_flags)
     v, l_total = d_samp_flat.shape[0], d_samp_flat.shape[1]
     l_planes = scal.shape[1]
     assert lo + l_planes <= l_total, (lo, l_planes, l_total)
@@ -1866,9 +1885,12 @@ def composite_bwd(warped, delta, g_color, g_depth, g_trans, eps: float = EPS):
 
 
 def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
-                          out_ref, t_ref, *maybe_m, L, eps, has_gd, has_gt,
-                          grad_tau=None):
-    m_ref = maybe_m[0] if maybe_m else None
+                          out_ref, *rest, L, eps, has_gd, has_gt,
+                          grad_tau=None, with_live=False):
+    rest = list(rest)
+    live_ref = rest.pop(0) if with_live else None
+    t_ref = rest.pop(0)
+    m_ref = rest.pop(0) if rest else None
     """Per (view, pixel block): the composite backward as two in-register
     plane passes — forward transmittance products into a [L, rows, 128]
     scratch, then a back-to-front suffix accumulation emitting d_rgba.
@@ -1907,7 +1929,11 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
     if has_gt:
         gt_term = gt_ref[0, 0] * t_total
 
-    def pass2(i, u):
+    lane_i = lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    sub_i8 = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+
+    def pass2(i, carry):
+        u, flags = carry
         l = L - 1 - i
         r0 = warped_ref[0, l, 0, 0]
         r1 = warped_ref[0, l, 1, 0]
@@ -1930,18 +1956,37 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
             live_px = (t_excl / m_ref[l]) >= grad_tau
             w = jnp.where(live_px, w, 0.0)
             d_alpha = jnp.where(live_px, d_alpha, 0.0)
+            if with_live:
+                # per-plane liveness bitmap at lane l (sublane 0): lets the
+                # splat skip a dead plane's DMA stream + strip loop outright
+                any_live = jnp.any(live_px).astype(f32)
+                flags = jnp.maximum(
+                    flags,
+                    jnp.where((lane_i == l) & (sub_i8 == 0), any_live, 0.0))
         out_ref[0, l, 0, 0] = w * gc0
         out_ref[0, l, 1, 0] = w * gc1
         out_ref[0, l, 2, 0] = w * gc2
         out_ref[0, l, 3, 0] = d_alpha
-        return u + w * e
+        return u + w * e, flags
 
-    lax.fori_loop(0, L, pass2, jnp.zeros((rows, LANES), f32))
+    _, flags = lax.fori_loop(
+        0, L, pass2, (jnp.zeros((rows, LANES), f32), jnp.zeros((8, LANES), f32)))
+    if with_live:
+        si = pl.program_id(1)
+
+        @pl.when(si == 0)
+        def _():
+            live_ref[0] = flags
+
+        @pl.when(si != 0)
+        def _():
+            live_ref[0] = jnp.maximum(live_ref[0], flags)
 
 
 def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
                          eps: float = EPS, interpret: bool = False,
-                         block_rows: int = 32, grad_tau=None):
+                         block_rows: int = 32, grad_tau=None,
+                         with_live: bool = False):
     """Pallas composite backward over subtile-flat stacks.
 
     warped_f [V, L, 4, NS, R8, 128]; qf [V, NS, R8, 128];
@@ -1952,12 +1997,17 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
     ``grad_tau``: enable grad-safe sparsity — cotangents of planes whose
     ``S = T_excl / min-factor`` is below tau are zeroed exactly (their true
     magnitude is bounded by ~tau; the zeros let the splat skip them).
+
+    ``with_live`` (requires grad_tau and L <= 128): additionally returns a
+    per-plane liveness bitmap [V, L] float32 (>0 = some pixel live) so the
+    splat can skip dead planes' DMA streams entirely.
     """
     v, l_planes = warped_f.shape[0], warped_f.shape[1]
     ns, r8 = warped_f.shape[3], warped_f.shape[4]
     assert r8 % block_rows == 0, (r8, block_rows)
     split = r8 // block_rows
     nb = ns * split
+    with_live = with_live and grad_tau is not None and l_planes <= LANES
 
     # refine the pixel blocking: [NS, R8, 128] -> [NS*split, R8/split, 128]
     # (contiguous — free reshape); bounds the per-step VMEM block
@@ -1970,7 +2020,7 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
 
     kernel = functools.partial(_composite_bwd_kernel, L=l_planes, eps=eps,
                                has_gd=gd is not None, has_gt=gt is not None,
-                               grad_tau=grad_tau)
+                               grad_tau=grad_tau, with_live=with_live)
     scratch = [pltpu.VMEM((l_planes, block_rows, LANES), jnp.float32)]
     if grad_tau is not None:
         scratch.append(pltpu.VMEM((l_planes, block_rows, LANES), jnp.float32))
@@ -1978,7 +2028,14 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
     stack = pl.BlockSpec((1, l_planes, 4, 1, block_rows, LANES),
                          lambda vi, si: (vi, 0, 0, si, 0, 0))
     field = pl.BlockSpec((1, 1, block_rows, LANES), px)
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct(
+        (v, l_planes, 4, nb, block_rows, LANES), jnp.float32)]
+    out_specs = [stack]
+    if with_live:
+        out_shape.append(jax.ShapeDtypeStruct((v, 8, LANES), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 8, LANES),
+                                      lambda vi, si: (vi, 0, 0)))
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -1993,18 +2050,21 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
                 field,
                 field,
             ],
-            out_specs=stack,
+            out_specs=tuple(out_specs) if with_live else out_specs[0],
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (v, l_planes, 4, nb, block_rows, LANES), jnp.float32),
+        out_shape=tuple(out_shape) if with_live else out_shape[0],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(scal, wr, qr, gcr, gdr, gtr)
-    return out.reshape(v, l_planes, 4, ns, r8, LANES)
+    if with_live:
+        d_samp, live = outs
+        return (d_samp.reshape(v, l_planes, 4, ns, r8, LANES),
+                live[:, 0, :l_planes])
+    return outs.reshape(v, l_planes, 4, ns, r8, LANES)
 
 
 def render_mpi_fused_fwd(
@@ -2198,10 +2258,14 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
         gc6 = flatten_pixels(g_color)
         gd6 = None if g_depth is None else flatten_pixels(g_depth[:, 0])
         gt6 = None if g_trans is None else flatten_pixels(g_trans[:, 0])
+        live_flags = None
         if composite_backend == "pallas":
             d_samp6 = composite_bwd_pallas(
                 warped, scal, qf6, gc6, gd6, gt6, eps, interpret=interpret,
-                grad_tau=GRAD_TAU if grad_sparsity else None)
+                grad_tau=GRAD_TAU if grad_sparsity else None,
+                with_live=grad_sparsity)
+            if grad_sparsity and isinstance(d_samp6, tuple):
+                d_samp6, live_flags = d_samp6
             d_samp = d_samp6.reshape(v, l_all, 4, -1, LANES)
         else:
             qf = qf6.reshape(v, -1, LANES)
@@ -2219,7 +2283,7 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
                 parts.append(warp_splat(
                     d_samp6, rxf, ryf, ry, scal[:, lo:hi],
                     bands, spl, tex_h, tex_w, interpret=interpret,
-                    precision=precision, lo=lo))
+                    precision=precision, lo=lo, live_flags=live_flags))
         else:
             d_samp = unflatten_pixels(
                 d_samp.reshape(v, l_all, 4, h // STRIP, -1, LANES), h, w_img)
