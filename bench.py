@@ -221,10 +221,10 @@ def run_fused_views(n_views, n_planes=N_PLANES, res=RES, tex=TEX):
     """Train-shape measurement (VERDICT r3 #6): ``n_views`` MPIs, one sampled
     camera each, fwd+bwd — the shape the G phase actually runs (batch 4).
 
-    At V=4 x 96 x 1024² the warped-RGBA residuals of all views (4 x 1.6 GB)
-    plus inputs and d_tex exceed one v5e's HBM, so views run through
-    ``lax.map`` with ``jax.checkpoint`` on the per-view render (the same
-    remat the train step's batch_split accumulation implies); the metric is
+    At V=4 x 96 x 1024² the four views' d_rgba gradients (4 x 1.6 GB) plus
+    inputs and residuals exceed one v5e's HBM, so views run through a
+    ``lax.scan`` of per-view grads reduced in place (the same sequential
+    accumulation the train step's batch_split implies); the metric is
     total pixels / wall time.
     """
     from gmpi_tpu.core import camera as cam
@@ -267,17 +267,24 @@ def run_fused_views(n_views, n_planes=N_PLANES, res=RES, tex=TEX):
     bands_ok &= bool(jax.jit(
         lambda: splat_plans_ok(scal, ry, plan, splat_plan))())
 
-    @jax.checkpoint
     def view_loss(rgba_v, ray_v, eye_v, z_v, cot_v):
         color, _, _ = fn(rgba_v[None], dhw, ray_v[None], eye_v[None], z_v[None])
         return jnp.sum(color[0] * cot_v)
 
-    def loss(x):
-        losses = jax.lax.map(
-            lambda a: view_loss(*a), (x, ray_dir, eye, z_dir, cot))
-        return jnp.sum(losses)
+    def grad_all(x):
+        # per-view grad inside a scan, reduced immediately: keeps each
+        # view's 1.6 GB d_rgba transient (a jax.grad over the full [V, ...]
+        # batch materializes all views' gradients at once and OOMs one
+        # v5e's HBM) — the same shape training's batch_split accumulation
+        # gives the G phase
+        def body(acc, args):
+            g = jax.grad(view_loss)(*args)
+            return acc + jnp.sum(g * g), None
 
-    best = _time_grad(jax.grad(loss), rgba)
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), (rgba, ray_dir, eye, z_dir, cot))
+        return acc
+
+    best = _time_grad(grad_all, rgba)
     mpix = (n_views * res * res) / 1e6 / best
     cost = None
     from gmpi_tpu.utils.roofline import attained, render_cost
@@ -292,7 +299,7 @@ def run_fused_views(n_views, n_planes=N_PLANES, res=RES, tex=TEX):
         "unit": "Mpixels/s/chip",
         "vs_baseline": None,
         "bands_ok": bands_ok,
-        "views_sequential_remat": True,
+        "views_sequential_scan": True,
         "path": "fused_pallas_mxu",
         "sol_fraction": round(a["sol_fraction"], 4),
         "attained_gbps": round(a["attained_gbps"], 1),
