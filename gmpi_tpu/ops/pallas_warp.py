@@ -1985,7 +1985,7 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
 
 def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
                          eps: float = EPS, interpret: bool = False,
-                         block_rows: int = 32, grad_tau=None,
+                         block_rows: int = None, grad_tau=None,
                          with_live: bool = False):
     """Pallas composite backward over subtile-flat stacks.
 
@@ -2004,6 +2004,18 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
     """
     v, l_planes = warped_f.shape[0], warped_f.shape[1]
     ns, r8 = warped_f.shape[3], warped_f.shape[4]
+    if block_rows is None:
+        # largest pixel block whose double-buffered in+out stacks + t/m
+        # scratch fit the VMEM budget: the [1, L, 4, 1, br, 128] blocks are
+        # L*4 strided 64*br-byte runs, so bigger blocks halve the per-run
+        # DMA overhead that dominates this kernel
+        block_rows = 8
+        for br in (128, 64, 32, 16, 8):
+            if r8 % br:
+                continue
+            if (4 * l_planes * 4 + 2 * l_planes) * br * LANES * 4 <= 80 << 20:
+                block_rows = br
+                break
     assert r8 % block_rows == 0, (r8, block_rows)
     split = r8 // block_rows
     nb = ns * split
