@@ -271,20 +271,34 @@ def run_fused_views(n_views, n_planes=N_PLANES, res=RES, tex=TEX):
         color, _, _ = fn(rgba_v[None], dhw, ray_v[None], eye_v[None], z_v[None])
         return jnp.sum(color[0] * cot_v)
 
-    def grad_all(x):
-        # per-view grad inside a scan, reduced immediately: keeps each
-        # view's 1.6 GB d_rgba transient (a jax.grad over the full [V, ...]
-        # batch materializes all views' gradients at once and OOMs one
-        # v5e's HBM) — the same shape training's batch_split accumulation
-        # gives the G phase
-        def body(acc, args):
-            g = jax.grad(view_loss)(*args)
-            return acc + jnp.sum(g * g), None
+    # ONE compiled per-view grad (the headline graph shape), driven with
+    # each view's pose DATA in turn — training's batch_split runs views
+    # sequentially exactly like this, and it avoids both failure modes the
+    # whole-batch alternatives hit on one v5e: jax.grad over [V, ...]
+    # materializes 4 x 1.6 GB d_rgba (HBM OOM), and a lax.scan-of-grads
+    # graph killed the remote compile helper outright
+    grad_v = jax.jit(jax.grad(view_loss))
 
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), (rgba, ray_dir, eye, z_dir, cot))
-        return acc
+    def time_view(i):
+        args = (rgba[i], ray_dir[i], eye[i], z_dir[i], cot[i])
 
-    best = _time_grad(grad_all, rgba)
+        @jax.jit
+        def step(rgba_v, ray_v, eye_v, z_v, cot_v):
+            def body(_, acc):
+                g = grad_v(rgba_v + acc * 1e-30, ray_v, eye_v, z_v, cot_v)
+                return acc + g.ravel()[0]
+            return jax.lax.fori_loop(0, INNER_ITERS, body,
+                                     jnp.zeros((), jnp.float32))
+
+        float(np.asarray(step(*args)))  # compile (shared across views) + sync
+        times = []
+        for _ in range(OUTER):
+            t0 = time.perf_counter()
+            float(np.asarray(step(*args)))
+            times.append(time.perf_counter() - t0)
+        return min(times) / INNER_ITERS
+
+    best = sum(time_view(i) for i in range(n_views))
     mpix = (n_views * res * res) / 1e6 / best
     cost = None
     from gmpi_tpu.utils.roofline import attained, render_cost

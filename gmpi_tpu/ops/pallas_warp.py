@@ -333,42 +333,48 @@ def fused_bands_ok(scal, rx, ry, plan) -> jnp.ndarray:
     ry = jnp.asarray(ry, jnp.float32)
     v, h, w = rx.shape
     ns, nt = h // STRIP, w // SUBW
-    i_arr = jnp.arange(STRIP, dtype=jnp.float32)[None, :, None, None]
+    i_arr = jnp.arange(STRIP, dtype=jnp.float32)[:, None, None]
     rx5 = rx.reshape(v, ns, STRIP, nt, SUBW)
     ry5 = ry.reshape(v, ns, STRIP, nt, SUBW)
 
-    def plane_ok(s, bands: FusedBands):
+    def plane_ok(s, rx_v, ry_v, bands: FusedBands):
+        # s [6] paired with ITS view's rays [ns, STRIP, nt, SUBW] — the
+        # kernel only ever applies scal[v] to rays[v]; checking every
+        # (plane, view) cross pair made the batched check falsely fail
         rw = STRIP + bands.d_y
         rwp = win_rows(rw)
-        fx = s[0] * rx5 + s[1]
-        fy = s[2] * ry5 + s[3]
+        fx = s[0] * rx_v + s[1]
+        fy = s[2] * ry_v + s[3]
         fx_m = jnp.where(fx < -1.0, jnp.inf, fx)
-        diag = jnp.where(fy < -1.0, jnp.inf, fy) - i_arr
+        diag = jnp.where(fy < -1.0, jnp.inf, fy) - i_arr[None]
         # x: absolute span per subtile (invalid-only subtiles span 0)
-        fx_hi = jnp.max(jnp.where(jnp.isinf(fx_m), -jnp.inf, fx_m), axis=(2, 4))
-        fx_lo = jnp.min(fx_m, axis=(2, 4))
+        fx_hi = jnp.max(jnp.where(jnp.isinf(fx_m), -jnp.inf, fx_m), axis=(1, 3))
+        fx_lo = jnp.min(fx_m, axis=(1, 3))
         span_x = jnp.where(jnp.isfinite(fx_hi - fx_lo), fx_hi - fx_lo, 0.0)
         ok = jnp.all(span_x + 3 <= bands.b_x)
         # y: diagonal span per subtile
-        d_hi = jnp.max(jnp.where(jnp.isinf(diag), -jnp.inf, diag), axis=(2, 4))
-        d_lo = jnp.min(diag, axis=(2, 4))                 # [V, ns, nt]
+        d_hi = jnp.max(jnp.where(jnp.isinf(diag), -jnp.inf, diag), axis=(1, 3))
+        d_lo = jnp.min(diag, axis=(1, 3))                 # [ns, nt]
         span_y = jnp.where(jnp.isfinite(d_hi - d_lo), d_hi - d_lo, 0.0)
         ok &= jnp.all(span_y + 3 <= bands.d_y)
         # strip DMA coverage: every subtile's window base must sit within the
         # by_pad band given the strip base's 8-alignment slack
-        ryb_sub = jnp.floor(d_lo) - 1                      # [V, ns, nt] (inf ok)
-        y_exact = jnp.floor(jnp.min(d_lo, axis=2)) - 1     # [V, ns]
+        ryb_sub = jnp.floor(d_lo) - 1                      # [ns, nt] (inf ok)
+        y_exact = jnp.floor(jnp.min(d_lo, axis=1)) - 1     # [ns]
         rel = jnp.where(jnp.isfinite(ryb_sub), ryb_sub, -jnp.inf)
-        rel = jnp.max(rel, axis=2) - y_exact               # [V, ns]
+        rel = jnp.max(rel, axis=1) - y_exact               # [ns]
         strip_ok = jnp.where(jnp.isfinite(y_exact),
                              rel + 7 + rwp <= bands.by_pad, True)
         return ok & jnp.all(strip_ok)
 
     ok_all = jnp.bool_(True)
+    scal = jnp.asarray(scal)
     for lo, hi, bands in plan:
-        sub = jnp.asarray(scal)[:, lo:hi].reshape(-1, 6)
-        # sequential map: vmapping would materialize [L, V, H, W] temps
-        ok_all &= jnp.all(lax.map(lambda s: plane_ok(s, FusedBands(*bands)), sub))
+        for vi in range(v):  # static: V is small
+            # sequential map: vmapping would materialize [L, H, W] temps
+            ok_all &= jnp.all(lax.map(
+                lambda s: plane_ok(s, rx5[vi], ry5[vi], FusedBands(*bands)),
+                scal[vi, lo:hi]))
     return ok_all
 
 

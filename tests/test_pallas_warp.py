@@ -453,3 +453,30 @@ def test_grad_sparsity_propagates_across_chunks():
     # planes 2.. live in later chunks; all doubly occluded -> exact zeros
     assert float(np.max(np.abs(w[:, 2:]))) == 0.0
     assert float(np.max(np.abs(w[:, 0]))) > 0.0
+
+
+def test_fused_bands_ok_batched_views_pairing():
+    """r4 fix: the batched check must pair scal[v] with rays[v] only — the
+    cross-product form falsely failed 4-view pose spreads whose per-view
+    checks all pass (bench V=4 regression)."""
+    from gmpi_tpu.ops.pallas_warp import fused_bands_ok
+
+    L, res, V = 3, 256, 3
+    geom, _, _, _ = _setup(L, res)
+    yaws = jnp.asarray([[-0.5], [0.0], [0.55]])
+    pitches = jnp.asarray([[-0.22], [0.0], [0.24]])
+    c2w, _, _ = poses_mod.sample_sphere_poses(
+        None, V, poses_mod.SphereCameraConfig(1.0, 1.0, 0.0, 0.289, 0.0, 0.127),
+        given_yaws=yaws, given_pitches=pitches)
+    intr = cam.intrinsics_from_fov(12.6, res, res)
+    ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
+    dhw = jnp.asarray(geom.dhw)
+    scal = jax.vmap(lambda e: plane_affine(dhw, e, res, res))(eye)
+    rx, ry, _ = ray_fields(ray_dir.astype(jnp.float32), z_dir.astype(jnp.float32))
+    plan = plan_fused_render(np.asarray(scal), np.asarray(rx), np.asarray(ry))
+    plan_t = tuple((int(lo), int(hi), b) for lo, hi, b in plan)
+    # the plan was built FOR these poses: the batch check must accept it
+    assert bool(fused_bands_ok(scal, rx, ry, plan_t))
+    for vi in range(V):
+        assert bool(fused_bands_ok(scal[vi:vi+1], rx[vi:vi+1],
+                                   ry[vi:vi+1], plan_t))
