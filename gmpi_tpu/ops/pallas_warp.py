@@ -536,8 +536,18 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
             dma(0, 0).start()
     else:
         acc_s0 = acc_m0 = None
-        live0 = None
-        dma(0, 0).start()
+        if early_out:
+            # gate the whole DMA chain on the carried transmittance (r4:
+            # the ungated inference path measured 53.5 ms vs the gated grad
+            # path's 29.7 — occluded planes' texture bands still streamed)
+            live0 = jnp.max(acc_t0) >= 1e-6
+
+            @pl.when(live0)
+            def _():
+                dma(0, 0).start()
+        else:
+            live0 = None
+            dma(0, 0).start()
 
     def compute_plane(l, slot, acc_rgb, acc_d, acc_t):
         # NOTE: ``alpha`` is also inspected by the grad-safe early-out
@@ -679,6 +689,34 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
              jnp.where(live0, 1, 0).astype(jnp.int32)))
         s_ref[0, 0] = acc_s
         m_ref[0, 0] = acc_m
+    elif early_out:
+        def plane_body(l, carry):
+            acc_rgb, acc_d, acc_t, started = carry
+            slot = lax.rem(l, 2)
+            live = (started == 1) & (jnp.max(acc_t) >= 1e-6)
+
+            @pl.when(live & (l + 1 < L))
+            def _():
+                dma(l + 1, lax.rem(l + 1, 2)).start()
+
+            @pl.when(started == 1)
+            def _():
+                dma(l, slot).wait()
+
+            def live_fn(_):
+                return compute_plane(l, slot, acc_rgb, acc_d, acc_t)[:3]
+
+            def dead_fn(_):
+                zero_warped(l)
+                return acc_rgb, acc_d, acc_t
+
+            rgb, d, t = lax.cond(live, live_fn, dead_fn, 0)
+            return rgb, d, t, jnp.where(live, 1, 0).astype(jnp.int32)
+
+        acc_rgb, acc_d, acc_t, _ = lax.fori_loop(
+            0, L, plane_body,
+            (acc_rgb0, acc_d0, acc_t0,
+             jnp.where(live0, 1, 0).astype(jnp.int32)))
     else:
         def plane_body(l, carry):
             acc_rgb, acc_d, acc_t = carry
@@ -690,15 +728,6 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
 
             dma(l, slot).wait()
 
-            if early_out:
-                def live(_):
-                    return compute_plane(l, slot, acc_rgb, acc_d, acc_t)[:3]
-
-                def dead(_):
-                    zero_warped(l)
-                    return acc_rgb, acc_d, acc_t
-
-                return lax.cond(jnp.max(acc_t) >= 1e-6, live, dead, 0)
             return compute_plane(l, slot, acc_rgb, acc_d, acc_t)[:3]
 
         acc_rgb, acc_d, acc_t = lax.fori_loop(
