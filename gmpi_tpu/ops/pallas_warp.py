@@ -67,6 +67,8 @@ class FusedBands(NamedTuple):
     d_y: int       # static dy tap range (includes 8-align slack)
     by_pad: int    # DMA'd texture rows per strip (multiple of 8)
     b_x: int = 0   # absolute texel-column band per 16x64 subtile (MXU path)
+    b_x2: int = 0  # 16x128 PAIRED-subtile band (fat splat; 0 = no pairing —
+                   # the span exceeds one 128-lane MXU tile for this chunk)
 
 
 SUBW = 64          # pixel lanes per MXU subtile (16 rows x 64 cols)
@@ -184,6 +186,8 @@ def _plane_spans(scal, rx, ry):
     sy = np.zeros(n_l)
     sy_strip = np.zeros(n_l)
     sx_abs = np.zeros(n_l)   # absolute fx span over 16x64 subtiles (MXU hats)
+    sx_abs2 = np.zeros(n_l)  # ... over 16x128 PAIRED subtiles (fat splat)
+    sy2 = np.zeros(n_l)      # diagonal y span over paired subtiles
 
     def block_span(vals, rows, cols):
         """max over (rows x cols) blocks of (finite max - min); vals [H, W]
@@ -206,6 +210,7 @@ def _plane_spans(scal, rx, ry):
             fyd = np.where(fy < -1.0, np.inf, fy)
             sx[l] = max(sx[l], block_span(fxd, STRIP, LANES))
             sx_abs[l] = max(sx_abs[l], block_span(fx_m, STRIP, SUBW))
+            sx_abs2[l] = max(sx_abs2[l], block_span(fx_m, STRIP, 2 * SUBW))
             fyd3 = fyd.reshape(h // STRIP, STRIP, w) - i
             for si in range(h // STRIP):
                 sl = fyd3[si]
@@ -216,10 +221,12 @@ def _plane_spans(scal, rx, ry):
                 # d_y at the kernel's rebase granularity (16x64 subtiles);
                 # 128-lane spans doubled the band at strongly tilted poses
                 sy[l] = max(sy[l], block_span(sl, STRIP, SUBW))
-    return sx, sy, sy_strip, sx_abs
+                sy2[l] = max(sy2[l], block_span(sl, STRIP, 2 * SUBW))
+    return sx, sy, sy_strip, sx_abs, sx_abs2, sy2
 
 
 def _bands_from_spans(span_x, span_y, span_y_strip, span_x_abs,
+                      span_x_abs2=None, span_y2=None,
                       margin: int = 2) -> FusedBands:
     d_x = int(np.ceil(max(span_x))) + 3 + margin
     # window rows are rebased exactly via a sublane roll — no 8-align slack
@@ -233,14 +240,24 @@ def _bands_from_spans(span_x, span_y, span_y_strip, span_x_abs,
     by_pad = ((by_pad + 7) // 8) * 8
     b_x = int(np.ceil(max(span_x_abs))) + 3 + margin
     b_x = ((b_x + 7) // 8) * 8
-    return FusedBands(d_x=d_x, d_y=d_y, by_pad=by_pad, b_x=b_x)
+    b_x2 = 0
+    if span_x_abs2 is not None:
+        # paired 16x128 subtiles (fat splat): valid only when the wider
+        # window still fits one MXU tile AND its y taps fit the rwp rows
+        # the pair's hats reuse — coverage needs STRIP + span2 + 3 + rem
+        # (< 8) rows from the 8-aligned base, i.e. span2 + 3 <= rwp - 23
+        cand = int(np.ceil(max(span_x_abs2))) + 3 + margin
+        cand = ((cand + 7) // 8) * 8
+        if cand <= 128 and int(np.ceil(max(span_y2))) + 3 <= rwp - 23:
+            b_x2 = cand
+    return FusedBands(d_x=d_x, d_y=d_y, by_pad=by_pad, b_x=b_x, b_x2=b_x2)
 
 
 def estimate_fused_bands(scal, rx, ry, margin: int = 2) -> FusedBands:
     """Measure the diagonal band sizes a (chunk, pose set) needs (host helper,
     the fused-kernel analog of ``tiled_warp.required_bands``)."""
-    sx, sy, sys_, sxa = _plane_spans(scal, rx, ry)
-    return _bands_from_spans(sx, sy, sys_, sxa, margin)
+    sx, sy, sys_, sxa, sxa2, sy2 = _plane_spans(scal, rx, ry)
+    return _bands_from_spans(sx, sy, sys_, sxa, sxa2, sy2, margin)
 
 
 def plan_fused_render(scal, rx, ry, margin: int = 2, max_chunks: int = 14,
@@ -260,7 +277,7 @@ def plan_fused_render(scal, rx, ry, margin: int = 2, max_chunks: int = 14,
     kernel's double-buffered warped-residual out block (256 KB/plane/strip
     at 1024-wide images).  Returns ``[(lo, hi, FusedBands), ...]``.
     """
-    sx, sy, sys_, sxa = _plane_spans(scal, rx, ry)
+    sx, sy, sys_, sxa, sxa2, sy2 = _plane_spans(scal, rx, ry)
     n_l = len(sx)
     if max_chunk_planes is None:
         # measured on v5e (tools/probe_chunk_size.py, r4): the fused fwd
@@ -311,7 +328,8 @@ def plan_fused_render(scal, rx, ry, margin: int = 2, max_chunks: int = 14,
     plan = []
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         plan.append((lo, hi, _bands_from_spans(
-            sx[lo:hi], sy[lo:hi], sys_[lo:hi], sxa[lo:hi], margin)))
+            sx[lo:hi], sy[lo:hi], sys_[lo:hi], sxa[lo:hi],
+            sxa2[lo:hi], sy2[lo:hi], margin)))
     return plan
 
 
@@ -365,7 +383,23 @@ def fused_bands_ok(scal, rx, ry, plan) -> jnp.ndarray:
         rel = jnp.max(rel, axis=1) - y_exact               # [ns]
         strip_ok = jnp.where(jnp.isfinite(y_exact),
                              rel + 7 + rwp <= bands.by_pad, True)
-        return ok & jnp.all(strip_ok)
+        ok &= jnp.all(strip_ok)
+        if bands.b_x2 and nt % 2 == 0:
+            # paired 16x128 subtiles (fat splat): x span within b_x2 and
+            # y span still within the shared d_y band
+            fx2 = fx_m.reshape(ns, STRIP, nt // 2, 2 * SUBW)
+            dg2 = diag.reshape(ns, STRIP, nt // 2, 2 * SUBW)
+            fx2_hi = jnp.max(jnp.where(jnp.isinf(fx2), -jnp.inf, fx2),
+                             axis=(1, 3))
+            fx2_lo = jnp.min(fx2, axis=(1, 3))
+            s2 = jnp.where(jnp.isfinite(fx2_hi - fx2_lo), fx2_hi - fx2_lo, 0.0)
+            ok &= jnp.all(s2 + 3 <= bands.b_x2)
+            d2_hi = jnp.max(jnp.where(jnp.isinf(dg2), -jnp.inf, dg2),
+                            axis=(1, 3))
+            d2_lo = jnp.min(dg2, axis=(1, 3))
+            sy2s = jnp.where(jnp.isfinite(d2_hi - d2_lo), d2_hi - d2_lo, 0.0)
+            ok &= jnp.all(sy2s + 3 <= rwp - 23)  # see _bands_from_spans
+        return ok
 
     ok_all = jnp.bool_(True)
     scal = jnp.asarray(scal)
@@ -1166,7 +1200,7 @@ def _splat_plane_kernel(flags_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
     Same hats, bases, clamps, and matmul as ``_splat_kernel`` — the exact
     transpose of the forward warp.
     """
-    d_y, b_xp = bands.d_y, bands.b_x
+    d_y = bands.d_y
     rw = STRIP + d_y
     rwp = win_rows(rw)
     w_add = 384
@@ -1181,11 +1215,19 @@ def _splat_plane_kernel(flags_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
     r8 = rx_ref.shape[2]
     n_sub = r8 // 8
 
-    sub_i = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-    lane8 = lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-    i_blk = (sub_i + 8 * (lane8 // SUBW)).astype(f32)
-    iota_x = lax.broadcasted_iota(jnp.int32, (b_xp, 8, LANES), 0).astype(f32)
-    iota_r = lax.broadcasted_iota(jnp.int32, (rwp, 8, LANES), 0).astype(f32)
+    # paired 16x128 subtiles when the chunk's wider window fits one MXU
+    # tile: halves the subtile iterations AND brings the matmul's padded-N
+    # utilization from b_x/128 to ~100% (two 64-col subtiles share window)
+    pair = bands.b_x2 > 0 and n_sub % 2 == 0
+    subr = 16 if pair else 8
+    b_xe = bands.b_x2 if pair else bands.b_x
+    n_it = n_sub // 2 if pair else n_sub
+
+    sub_i = lax.broadcasted_iota(jnp.int32, (subr, LANES), 0)
+    lane8 = lax.broadcasted_iota(jnp.int32, (subr, LANES), 1)
+    i_blk = (lax.rem(sub_i, 8) + 8 * (lane8 // SUBW)).astype(f32)
+    iota_x = lax.broadcasted_iota(jnp.int32, (b_xe, subr, LANES), 0).astype(f32)
+    iota_r = lax.broadcasted_iota(jnp.int32, (rwp, subr, LANES), 0).astype(f32)
 
     # stream the cotangent in GC-strip groups: per-DMA issue overhead
     # (~7 us on v5e for strided multi-run descriptors) dominated the
@@ -1240,15 +1282,15 @@ def _splat_plane_kernel(flags_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
 
         def strip_in_group(k, _k):
             n = gi * gc + k
-            for st in range(n_sub):
-                rx = rx_ref[0, pl.ds(n, 1), st * 8:(st + 1) * 8][0]
-                ry = ry_ref[0, pl.ds(n, 1), st * 8:(st + 1) * 8][0]
+            for st in range(n_it):
+                rx = rx_ref[0, pl.ds(n, 1), st * subr:(st + 1) * subr][0]
+                ry = ry_ref[0, pl.ds(n, 1), st * subr:(st + 1) * subr][0]
                 fx = ax * rx + bx
                 fy = ay * ry + by
                 fx_m = jnp.where(fx < -1.0, 1e9, fx)
                 fy_m = jnp.where(fy < -1.0, 1e9, fy)
                 cx = jnp.floor(jnp.min(fx_m)).astype(jnp.int32) - 1
-                cx = jnp.clip(cx, -2, wp - PAD - b_xp)
+                cx = jnp.clip(cx, -2, wp - PAD - b_xe)
                 ryb = jnp.floor(jnp.min(fy_m - i_blk)).astype(jnp.int32) - 1
                 oyb = ryb + OUT_PAD_TOP
                 # absolute-row validity replaces the block-ownership test: a
@@ -1256,7 +1298,7 @@ def _splat_plane_kernel(flags_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
                 # whose rays all miss, oyb degenerate) contributes nothing
                 valid = (oyb >= 0) & (oyb < OUT_PAD_TOP + tex_h)
                 g = gbuf[0, :, pl.ds(gslot * gc + k, 1),
-                         st * 8:(st + 1) * 8, :][:, 0]
+                         st * subr:(st + 1) * subr, :][:, 0]
                 # grad-sparse cotangents are exact zeros for occluded
                 # planes — skip their hats/matmul/accumulate entirely
                 live = jnp.any(g != 0.0)
@@ -1272,26 +1314,26 @@ def _splat_plane_kernel(flags_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
                     hat_y = jnp.maximum(
                         0.0, 1.0 - jnp.abs(fy_rel[None] - iota_r))
                     t_parts = [hat_y * g[c][None] for c in range(4)]
-                    t_all = jnp.concatenate(t_parts, axis=0)  # [4*rwp, 8, 128]
+                    t_all = jnp.concatenate(t_parts, axis=0)
                     if precision == "bf16x3":
                         d_win = _dot_bf16x3(
-                            t_all.reshape(4 * rwp, 8 * LANES),
-                            hat_x.reshape(b_xp, 8 * LANES),
+                            t_all.reshape(4 * rwp, subr * LANES),
+                            hat_x.reshape(b_xe, subr * LANES),
                             (((1,), (1,)), ((), ())))
                     else:
                         d_win = lax.dot_general(
-                            t_all.reshape(4 * rwp, 8 * LANES),
-                            hat_x.reshape(b_xp, 8 * LANES),
+                            t_all.reshape(4 * rwp, subr * LANES),
+                            hat_x.reshape(b_xe, subr * LANES),
                             (((1,), (1,)), ((), ())),
                             precision=precision,
-                            preferred_element_type=f32)       # [4*rwp, b_xp]
-                    d_win = d_win.reshape(4, rwp, b_xp)
+                            preferred_element_type=f32)       # [4*rwp, b_xe]
+                    d_win = d_win.reshape(4, rwp, b_xe)
                     cxp = cx + PAD
                     lane0 = jnp.clip(((cxp - 64) // 128) * 128, 0, wp - w_add)
                     lane0 = pl.multiple_of(lane0, 128)
                     lr = cxp - lane0
                     wide = jnp.concatenate(
-                        [d_win, jnp.zeros((4, rwp, w_add - b_xp), f32)],
+                        [d_win, jnp.zeros((4, rwp, w_add - b_xe), f32)],
                         axis=2)
                     wide = pltpu.roll(wide, lr, 2)
                     cur = acc[pl.ds(slot, 1), :, pl.ds(row8, rwp),
