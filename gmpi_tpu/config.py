@@ -99,6 +99,10 @@ class TrainHparams:
     # fused whenever running on an accelerator with align_corners=True and a
     # pixel grid the kernel layout supports (img % 64 == 0); True/False force
     use_fused_renderer: Optional[bool] = None
+    # fused renderer texture compute dtype: "bf16" halves texture DMA and
+    # the padded-texture HBM footprint (~2e-3 rel fwd err, fp32 accum) —
+    # memory relief for 1024^2 training on 16 GB chips; None = fp32
+    fused_compute_dtype: Optional[str] = None
     # edge-aware depth smoothness loss on rendered (rgb, depth)
     # (``configs/gmpi.yml:51-56``; the reference defines the loss but its
     # train path raises NotImplementedError — we support it)

@@ -463,19 +463,28 @@ def render_mpi_fused(
     plans,
     early_out: bool = True,
     interpret: bool = False,
+    precision="bf16x3",
+    compute_dtype=None,
 ) -> RenderOutput:
     """Render with the fused Pallas warp+composite kernel (TPU fast path).
 
     Same semantics as :func:`render_mpi` (stop-gradient pose, gradients to
     RGBA only, fp32) with an exact custom VJP; ``plans`` comes from
     :func:`plan_fused` / ``bands.fused_plans_for_config``.
+
+    ``precision``: ``"bf16x3"`` (default — split-operand fp32-faithful MXU
+    mode, ~4e-5 rel err at a third of HIGHEST's passes; the benchmarked
+    configuration) or a ``lax.Precision``.  ``compute_dtype=jnp.bfloat16``
+    halves texture DMA + the padded-texture HBM footprint (training-scale
+    memory relief; ~2e-3 rel forward err, fp32 accumulation).
     """
     from gmpi_tpu.ops.pallas_warp import make_fused_renderer
 
     plan, adj_plan = plans
     tex_h, tex_w = rgba.shape[-2], rgba.shape[-1]
     fn = make_fused_renderer(plan, adj_plan, tex_h, tex_w, early_out=early_out,
-                             interpret=interpret)
+                             interpret=interpret, precision=precision,
+                             compute_dtype=compute_dtype)
     color, depth, _ = fn(rgba.astype(jnp.float32), dhw.astype(jnp.float32),
                          ray_dir, eye_pos, z_dir)
     return RenderOutput(color=color, depth=depth)

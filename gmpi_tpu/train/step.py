@@ -191,7 +191,9 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
             if fused_plans is not None:
                 from gmpi_tpu.core.renderer import render_mpi_fused
 
-                out = render_mpi_fused(mpi, geom.dhw, ray_dir, eye, z_dir, fused_plans)
+                cd = jnp.bfloat16 if t.fused_compute_dtype == "bf16" else None
+                out = render_mpi_fused(mpi, geom.dhw, ray_dir, eye, z_dir,
+                                       fused_plans, compute_dtype=cd)
             elif t.renderer_plane_chunk:
                 out = render_mpi_chunked(
                     mpi, geom.dhw, ray_dir, eye, z_dir,

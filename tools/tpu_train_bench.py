@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--no_worst_view", action="store_true")
     ap.add_argument("--fused", action="store_true",
                     help="render through the fused Pallas kernel")
+    ap.add_argument("--fused_bf16", action="store_true",
+                    help="bf16 texture compute dtype in the fused renderer")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -65,6 +67,7 @@ def main():
         select_worst_view=not args.no_worst_view,
         # True forces fused; default None = auto (fused on accelerators)
         use_fused_renderer=True if args.fused else None,
+        fused_compute_dtype="bf16" if args.fused_bf16 else None,
     )
     cfg = dataclasses.replace(cfg, hparams=hp, train=tr)
 
