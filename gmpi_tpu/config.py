@@ -103,6 +103,10 @@ class TrainHparams:
     # the padded-texture HBM footprint (~2e-3 rel fwd err, fp32 accum) —
     # memory relief for 1024^2 training on 16 GB chips; None = fp32
     fused_compute_dtype: Optional[str] = None
+    # per-plan-chunk jax.checkpoint through the fused renderer: backward
+    # peak holds ONE chunk's residuals (~1/n_chunks) at ~2x forward cost —
+    # what lets 96x1024^2 training fit a 16 GB chip
+    fused_remat: bool = False
     # edge-aware depth smoothness loss on rendered (rgb, depth)
     # (``configs/gmpi.yml:51-56``; the reference defines the loss but its
     # train path raises NotImplementedError — we support it)

@@ -30,6 +30,7 @@ plane-chunked low-memory path (generalizing ``chunk_n_planes``,
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -487,6 +488,50 @@ def render_mpi_fused(
                              compute_dtype=compute_dtype)
     color, depth, _ = fn(rgba.astype(jnp.float32), dhw.astype(jnp.float32),
                          ray_dir, eye_pos, z_dir)
+    return RenderOutput(color=color, depth=depth)
+
+
+def render_mpi_fused_remat(
+    rgba: jnp.ndarray,
+    dhw: jnp.ndarray,
+    ray_dir: jnp.ndarray,
+    eye_pos: jnp.ndarray,
+    z_dir: jnp.ndarray,
+    plans,
+    interpret: bool = False,
+    precision="bf16x3",
+    compute_dtype=None,
+) -> RenderOutput:
+    """Memory-rematerialized fused render: each plan chunk renders through
+    the slab kernel under ``jax.checkpoint`` and the slab partials combine
+    associatively, so the backward holds only ONE chunk's warped residual +
+    cotangants at a time (~1/n_chunks of :func:`render_mpi_fused`'s peak —
+    the difference between OOM and fitting 96x1024^2 training on a 16 GB
+    chip).  Cost: each slab's forward runs twice (fwd + recompute in bwd).
+
+    Matches :func:`render_mpi_fused` semantics (reference contract
+    ``gmpi/core/mpi.py:308-436``); exactness of the slab VJPs and the
+    combine algebra is oracle-tested.
+    """
+    from gmpi_tpu.ops.pallas_warp import make_fused_slab_renderer
+
+    plan, adj_plan = plans
+    tex_h, tex_w = rgba.shape[-2], rgba.shape[-1]
+    rgba = rgba.astype(jnp.float32)
+    dhw = dhw.astype(jnp.float32)
+    carry = None
+    for (lo, hi, bands), spl in zip(plan, adj_plan):
+        fn = make_fused_slab_renderer(
+            tuple(bands), tuple(spl), tex_h, tex_w, interpret=interpret,
+            precision=precision, compute_dtype=compute_dtype)
+
+        @functools.partial(jax.checkpoint, static_argnums=())
+        def slab(r, d, fn=fn):
+            return fn(r, d, ray_dir, eye_pos, z_dir)
+
+        part = slab(rgba[:, lo:hi], dhw[lo:hi])
+        carry = part if carry is None else combine_segments(carry, part)
+    color, depth, _ = carry
     return RenderOutput(color=color, depth=depth)
 
 

@@ -2212,7 +2212,9 @@ def render_mpi_fused_fwd(
 @functools.lru_cache(maxsize=64)
 def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
                              early_out: bool = False, eps: float = EPS,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             precision=lax.Precision.HIGHEST,
+                             compute_dtype=None):
     """Fused Pallas *slab* renderer with an exact custom VJP.
 
     ``fn(rgba_slab, dhw_slab, ray_dir, eye_pos, z_dir) ->
@@ -2235,10 +2237,12 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
         ryf = flatten_pixels(ry)
         qf = flatten_pixels(q)
         pad_bot = max(PADY_BOT, bands.by_pad)
-        tex_pad = pad_textures(rgba.astype(jnp.float32), pad_bot)
+        tex_pad = pad_textures(
+            rgba.astype(compute_dtype or jnp.float32), pad_bot)
         c, d, t, warped = warp_composite_fwd(
             tex_pad, rxf, ryf, qf, scal, bands, early_out=early, eps=eps,
-            interpret=interpret, pad_bot=pad_bot, with_warped=with_warped)
+            interpret=interpret, pad_bot=pad_bot, with_warped=with_warped,
+            precision=precision, compute_dtype=compute_dtype)
         c = unflatten_pixels(c, h, w_img)
         d = unflatten_pixels(d, h, w_img)
         t = unflatten_pixels(t, h, w_img)
@@ -2271,7 +2275,8 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
                                        eps, interpret=interpret)
         rxf, ryf = flatten_pixels(rx), flatten_pixels(ry)
         d_rgba = warp_splat(d_samp6, rxf, ryf, ry, scal, bands, splat_plan,
-                            tex_h, tex_w, interpret=interpret)
+                            tex_h, tex_w, interpret=interpret,
+                            precision=precision)
         return (d_rgba, jnp.zeros_like(dhw), jnp.zeros_like(ray_dir),
                 jnp.zeros_like(eye_pos), jnp.zeros_like(z_dir))
 

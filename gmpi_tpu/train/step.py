@@ -189,11 +189,14 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
         else:
             ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
             if fused_plans is not None:
-                from gmpi_tpu.core.renderer import render_mpi_fused
+                from gmpi_tpu.core.renderer import (render_mpi_fused,
+                                                    render_mpi_fused_remat)
 
                 cd = jnp.bfloat16 if t.fused_compute_dtype == "bf16" else None
-                out = render_mpi_fused(mpi, geom.dhw, ray_dir, eye, z_dir,
-                                       fused_plans, compute_dtype=cd)
+                render = (render_mpi_fused_remat if t.fused_remat
+                          else render_mpi_fused)
+                out = render(mpi, geom.dhw, ray_dir, eye, z_dir,
+                             fused_plans, compute_dtype=cd)
             elif t.renderer_plane_chunk:
                 out = render_mpi_chunked(
                     mpi, geom.dhw, ray_dir, eye, z_dir,

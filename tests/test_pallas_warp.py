@@ -480,3 +480,38 @@ def test_fused_bands_ok_batched_views_pairing():
     for vi in range(V):
         assert bool(fused_bands_ok(scal[vi:vi+1], rx[vi:vi+1],
                                    ry[vi:vi+1], plan_t))
+
+
+def test_fused_remat_matches_oracle():
+    """render_mpi_fused_remat (r4: per-chunk checkpoint + partial combine)
+    — fwd and grads allclose to the gather oracle on a multi-chunk plan."""
+    from gmpi_tpu.core.renderer import (render_mpi, render_mpi_fused_remat,
+                                        plan_fused)
+
+    L, res = 5, 256
+    geom, ray_dir, eye, z_dir = _setup(L, res)
+    dhw = jnp.asarray(geom.dhw)
+    scal = plane_affine(dhw, eye[0], res, res)[None]
+    rx, ry, _ = ray_fields(ray_dir, z_dir)
+    plan = plan_fused_render(scal, rx, ry, max_chunk_planes=2, overhead=1.0)
+    plan_t = tuple((int(lo), int(hi), b) for lo, hi, b in plan)
+    splat = tuple(plan_splat(scal, ry, plan_t, res))
+    assert len(plan_t) >= 3
+
+    rng = np.random.default_rng(7)
+    rgba = jnp.asarray(rng.random((1, L, 4, res, res)).astype(np.float32))
+    gc = jnp.asarray(rng.standard_normal((1, 3, res, res)).astype(np.float32))
+
+    out = render_mpi_fused_remat(rgba, dhw, ray_dir, eye, z_dir,
+                                 (plan_t, splat), interpret=True)
+    oracle = render_mpi(rgba, geom.dhw, ray_dir, eye, z_dir)
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(oracle.color),
+                               atol=5e-4)
+
+    g = jax.grad(lambda x: jnp.sum(render_mpi_fused_remat(
+        x, dhw, ray_dir, eye, z_dir, (plan_t, splat), interpret=True
+    ).color * gc))(rgba)
+    go = jax.grad(lambda x: jnp.sum(render_mpi(
+        x, geom.dhw, ray_dir, eye, z_dir).color * gc))(rgba)
+    rel = float(jnp.max(jnp.abs(g - go))) / float(jnp.max(jnp.abs(go)))
+    assert rel < 1e-3, rel

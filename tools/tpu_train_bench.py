@@ -39,6 +39,8 @@ def main():
                     help="render through the fused Pallas kernel")
     ap.add_argument("--fused_bf16", action="store_true",
                     help="bf16 texture compute dtype in the fused renderer")
+    ap.add_argument("--fused_remat", action="store_true",
+                    help="per-chunk checkpoint through the fused renderer")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -68,6 +70,7 @@ def main():
         # True forces fused; default None = auto (fused on accelerators)
         use_fused_renderer=True if args.fused else None,
         fused_compute_dtype="bf16" if args.fused_bf16 else None,
+        fused_remat=args.fused_remat,
     )
     cfg = dataclasses.replace(cfg, hparams=hp, train=tr)
 
