@@ -96,14 +96,16 @@ def main():
     step_fn = make_train_step(cfg, donate=True)
     t0 = time.perf_counter()
     state, metrics = step_fn(state, real, pose, jax.random.key(1))
-    jax.block_until_ready(metrics)
+    jax.block_until_ready((state, metrics))
     t_compile = time.perf_counter() - t0
 
     times = []
     for i in range(args.steps):
         t0 = time.perf_counter()
         state, metrics = step_fn(state, real, pose, jax.random.fold_in(jax.random.key(2), i))
-        jax.block_until_ready(metrics)
+        # block on the FULL state: metrics alone don't depend on the
+        # optimizer-state writes, so async dispatch under-measures
+        jax.block_until_ready((state, metrics))
         times.append(time.perf_counter() - t0)
 
     metrics_f = {k: float(v) for k, v in metrics.items()}
