@@ -183,7 +183,7 @@ def run_fused(n_planes, res, tex):
     warped = jax.jit(lambda x: render_mpi_fused_fwd(
         x, dhw, ray_dir, eye, z_dir, plan, early_out="grad",
         precision="bf16x3")[3])(rgba)
-    live = float(jnp.mean(jnp.any(warped != 0.0, axis=(2, 4, 5))))
+    live = float(jnp.mean(jnp.any(warped != 0.0, axis=(3, 4, 5))))
     del warped
 
     mpix = (res * res) / 1e6 / best

@@ -659,7 +659,11 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
             parts.append(jnp.stack(chans, axis=0))          # [4, 8, 128]
         samp_full = jnp.concatenate(parts, axis=1)           # [4, R8, 128]
         if warped_ref is not None:
-            warped_ref[0, pl.ds(l, 1), :, 0] = samp_full[None]
+            # strip-major residual layout [V, NS, L, 4, R8, 128]: the whole
+            # (strip) out block is contiguous in HBM, so its flush runs at
+            # full bandwidth — the plane-major block (L x 4 strided 65 KB
+            # runs) flushed at ~64 GB/s and was the fwd's floor (r4)
+            warped_ref[0, 0, pl.ds(l, 1)] = samp_full[None]
         alpha = samp_full[3]
         wgt = alpha * acc_t
         acc_rgb = acc_rgb + wgt[None] * samp_full[:3]
@@ -672,7 +676,7 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
 
     def zero_warped(l):
         if warped_ref is not None:
-            warped_ref[0, pl.ds(l, 1), :, 0] = jnp.zeros((1, 4, r8, LANES), f32)
+            warped_ref[0, 0, pl.ds(l, 1)] = jnp.zeros((1, 4, r8, LANES), f32)
 
     if early_out == "grad":
         # Grad-safe occlusion skipping.  S = T / M (M = min composite factor
@@ -854,10 +858,11 @@ def warp_composite_fwd(
         out_shape += [pxshape, pxshape]
         out_specs += [pxspec, pxspec]
     if with_warped:
+        # strip-major [V, NS, L, 4, R8, 128]: contiguous per-strip flush
         out_shape.append(jax.ShapeDtypeStruct(
-            (v, l_planes, 4, n_strips, r8, LANES), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, l_planes, 4, 1, r8, LANES),
-                                      lambda vi, si: (vi, 0, 0, si, 0, 0)))
+            (v, n_strips, l_planes, 4, r8, LANES), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, l_planes, 4, r8, LANES),
+                                      lambda vi, si: (vi, si, 0, 0, 0, 0)))
     in_specs = [
         pl.BlockSpec((1, l_planes, 6), lambda vi, si: (vi, 0, 0),
                      memory_space=pltpu.SMEM),
@@ -1231,14 +1236,17 @@ def _splat_plane_kernel(flags_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
 
     # stream the cotangent in GC-strip groups: per-DMA issue overhead
     # (~7 us on v5e for strided multi-run descriptors) dominated the
-    # per-strip version (6144 issues ~= 43 ms); grouping cuts issues GC-fold
+    # per-strip version (6144 issues ~= 43 ms); grouping cuts issues GC-fold,
+    # and the strip-major layout makes each strip's slice one contiguous
+    # 262 KB run
     gc = _gc_strips(ns_total)
     n_grp = ns_total // gc
 
     def dma_g(gi, gslot):
         return pltpu.make_async_copy(
-            g_ref.at[pl.ds(vi * l_total + lo + li, 1), :, pl.ds(gi * gc, gc)],
-            gbuf.at[:, :, pl.ds(gslot * gc, gc)],
+            g_ref.at[pl.ds(vi, 1), pl.ds(gi * gc, gc),
+                     pl.ds((lo + li) * 4, 4)],
+            gbuf.at[pl.ds(gslot, 1)],
             gsem.at[gslot])
 
     def flush(s, oslot):
@@ -1297,8 +1305,8 @@ def _splat_plane_kernel(flags_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
                 # strip whose window is entirely in the sliced-off pad (or
                 # whose rays all miss, oyb degenerate) contributes nothing
                 valid = (oyb >= 0) & (oyb < OUT_PAD_TOP + tex_h)
-                g = gbuf[0, :, pl.ds(gslot * gc + k, 1),
-                         st * subr:(st + 1) * subr, :][:, 0]
+                g = gbuf[pl.ds(gslot, 1), pl.ds(k, 1), :,
+                         st * subr:(st + 1) * subr, :][0, 0]
                 # grad-sparse cotangents are exact zeros for occluded
                 # planes — skip their hats/matmul/accumulate entirely
                 live = jnp.any(g != 0.0)
@@ -1361,7 +1369,7 @@ def _splat_plane_kernel(flags_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
 
 
 def warp_splat_fat(
-    d_samp_flat: jnp.ndarray,   # [V, L_total, 4, NS, R8, 128] subtile-flat
+    d_samp_flat: jnp.ndarray,   # [V, NS, L_total, 4, R8, 128] strip-major
     rx_flat: jnp.ndarray,       # [V, NS, R8, 128]
     ry_flat: jnp.ndarray,
     scal: jnp.ndarray,          # [V, L_chunk, 6]
@@ -1379,7 +1387,7 @@ def warp_splat_fat(
     pair + resident rx/ry to fit VMEM (callers gate on
     :func:`splat_fat_fits`); no splat plan needed.
     """
-    v, l_total = d_samp_flat.shape[0], d_samp_flat.shape[1]
+    v, l_total = d_samp_flat.shape[0], d_samp_flat.shape[2]
     l_planes = scal.shape[1]
     assert lo + l_planes <= l_total, (lo, l_planes, l_total)
     n_strips, r8 = rx_flat.shape[1], rx_flat.shape[2]
@@ -1392,7 +1400,9 @@ def warp_splat_fat(
         flags = jnp.ones((v, l_total), jnp.int32)
     else:
         flags = (live_flags > 0).astype(jnp.int32)
-    g_flat = d_samp_flat.reshape(v * l_total, 4, n_strips, r8, LANES)
+    # merge (L, 4) so one pl.ds selects a plane's 4 channels: per-strip
+    # slices are then contiguous 262 KB runs
+    g_flat = d_samp_flat.reshape(v, n_strips, l_total * 4, r8, LANES)
     kernel = functools.partial(
         _splat_plane_kernel, L=l_planes, tex_h=tex_h, tex_w=tex_w,
         bands=bands, wp=wp, rows_pad=rows_pad, precision=precision,
@@ -1415,7 +1425,7 @@ def warp_splat_fat(
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, 4, rows_pad, wp), jnp.float32),
-                pltpu.VMEM((1, 4, 2 * _gc_strips(n_strips), r8, LANES),
+                pltpu.VMEM((2, _gc_strips(n_strips), 4, r8, LANES),
                            jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -1445,7 +1455,7 @@ def splat_fat_fits(tex_h: int, tex_w: int, n_strips: int, r8: int) -> bool:
 
 
 def warp_splat(
-    d_samp_flat: jnp.ndarray,   # [V, L, 4, NS, R8, 128] subtile-flat cotangent
+    d_samp_flat: jnp.ndarray,   # [V, NS, L, 4, R8, 128] strip-major cotangent
     rx_flat: jnp.ndarray,       # [V, NS, R8, 128]
     ry_flat: jnp.ndarray,
     ry_rowmajor: jnp.ndarray,   # [V, H, W] (for the jittable base computation)
@@ -1481,7 +1491,10 @@ def warp_splat(
                 d_samp_flat, rx_flat, ry_flat, scal, bands, tex_h, tex_w,
                 interpret=interpret, precision=precision, lo=lo,
                 live_flags=live_flags)
-    v, l_total = d_samp_flat.shape[0], d_samp_flat.shape[1]
+    # the block-partitioned fallback operates plane-major: transpose once
+    # (fallback shapes are small; the production fat path never pays this)
+    d_pm = jnp.transpose(d_samp_flat, (0, 2, 3, 1, 4, 5))
+    v, l_total = d_pm.shape[0], d_pm.shape[1]
     l_planes = scal.shape[1]
     assert lo + l_planes <= l_total, (lo, l_planes, l_total)
     n_strips, r8 = rx_flat.shape[1], rx_flat.shape[2]
@@ -1491,7 +1504,7 @@ def warp_splat(
     rw = STRIP + bands.d_y
     rwp = win_rows(rw)
 
-    g_flat = d_samp_flat.reshape(v * l_total, 4, n_strips, r8, LANES)
+    g_flat = d_pm.reshape(v * l_total, 4, n_strips, r8, LANES)
     bases = splat_bases(scal, ry_rowmajor, tex_h, splat.n_ps, splat.n_blocks)
 
     # trim: emit d_tex unpadded straight from the kernel (see _splat_kernel).
@@ -1978,18 +1991,18 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
     XLA:TPU fused-chain miscompile that forced optimization_barriers there.
     """
     f32 = jnp.float32
-    rows = warped_ref.shape[4]
-    q = q_ref[0, 0]                                   # [rows, 128]
-    gc0 = gc_ref[0, 0, 0]
-    gc1 = gc_ref[0, 1, 0]
-    gc2 = gc_ref[0, 2, 0]
+    rows = warped_ref.shape[5]
+    q = q_ref[0, 0, 0]                                # [rows, 128]
+    gc0 = gc_ref[0, 0, 0, 0]
+    gc1 = gc_ref[0, 1, 0, 0]
+    gc2 = gc_ref[0, 2, 0, 0]
 
     def pass1(l, carry):
         t, m = carry
         t_ref[l] = t
         if m_ref is not None:
             m_ref[l] = m
-        a = warped_ref[0, l, 3, 0]
+        a = warped_ref[0, 0, l, 3, 0]
         # max(1-a, 0) + eps, NOT 1-a+eps: the compiler reassociates the
         # latter to (1+eps)-a which rounds to exactly 0 at a=1 (fp32 can't
         # represent 1+1e-10) -> 0/0 = NaN in pass2's division.  The max form
@@ -2004,7 +2017,7 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
 
     gt_term = None
     if has_gt:
-        gt_term = gt_ref[0, 0] * t_total
+        gt_term = gt_ref[0, 0, 0] * t_total
 
     lane_i = lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
     sub_i8 = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
@@ -2012,14 +2025,14 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
     def pass2(i, carry):
         u, flags = carry
         l = L - 1 - i
-        r0 = warped_ref[0, l, 0, 0]
-        r1 = warped_ref[0, l, 1, 0]
-        r2 = warped_ref[0, l, 2, 0]
-        a = warped_ref[0, l, 3, 0]
+        r0 = warped_ref[0, 0, l, 0, 0]
+        r1 = warped_ref[0, 0, l, 1, 0]
+        r2 = warped_ref[0, 0, l, 2, 0]
+        a = warped_ref[0, 0, l, 3, 0]
         t_excl = t_ref[l]
         e = gc0 * r0 + gc1 * r1 + gc2 * r2
         if has_gd:
-            e = e + gd_ref[0, 0] * (scal_ref[0, l, 4] * q)
+            e = e + gd_ref[0, 0, 0] * (scal_ref[0, l, 4] * q)
         one_m = jnp.maximum(1.0 - a, 0.0) + eps  # see pass1 note
         w = a * t_excl
         d_alpha = t_excl * e - u / one_m
@@ -2040,22 +2053,22 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
                 flags = jnp.maximum(
                     flags,
                     jnp.where((lane_i == l) & (sub_i8 == 0), any_live, 0.0))
-        out_ref[0, l, 0, 0] = w * gc0
-        out_ref[0, l, 1, 0] = w * gc1
-        out_ref[0, l, 2, 0] = w * gc2
-        out_ref[0, l, 3, 0] = d_alpha
+        out_ref[0, 0, l, 0, 0] = w * gc0
+        out_ref[0, 0, l, 1, 0] = w * gc1
+        out_ref[0, 0, l, 2, 0] = w * gc2
+        out_ref[0, 0, l, 3, 0] = d_alpha
         return u + w * e, flags
 
     _, flags = lax.fori_loop(
         0, L, pass2, (jnp.zeros((rows, LANES), f32), jnp.zeros((8, LANES), f32)))
     if with_live:
-        si = pl.program_id(1)
+        first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
 
-        @pl.when(si == 0)
+        @pl.when(first)
         def _():
             live_ref[0] = flags
 
-        @pl.when(si != 0)
+        @pl.when(jnp.logical_not(first))
         def _():
             live_ref[0] = jnp.maximum(live_ref[0], flags)
 
@@ -2079,11 +2092,11 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
     per-plane liveness bitmap [V, L] float32 (>0 = some pixel live) so the
     splat can skip dead planes' DMA streams entirely.
     """
-    v, l_planes = warped_f.shape[0], warped_f.shape[1]
-    ns, r8 = warped_f.shape[3], warped_f.shape[4]
+    v, ns, l_planes = warped_f.shape[0], warped_f.shape[1], warped_f.shape[2]
+    r8 = warped_f.shape[4]
     if block_rows is None:
         # largest pixel block whose double-buffered in+out stacks + t/m
-        # scratch fit the VMEM budget: the [1, L, 4, 1, br, 128] blocks are
+        # scratch fit the VMEM budget: the [.., L, 4, 1, br, 128] blocks are
         # L*4 strided 64*br-byte runs, so bigger blocks halve the per-run
         # DMA overhead that dominates this kernel
         block_rows = 8
@@ -2095,17 +2108,16 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
                 break
     assert r8 % block_rows == 0, (r8, block_rows)
     split = r8 // block_rows
-    nb = ns * split
     with_live = with_live and grad_tau is not None and l_planes <= LANES
 
-    # refine the pixel blocking: [NS, R8, 128] -> [NS*split, R8/split, 128]
+    # refine the pixel blocking: [.., R8, 128] -> [.., split, R8/split, 128]
     # (contiguous — free reshape); bounds the per-step VMEM block
-    wr = warped_f.reshape(v, l_planes, 4, nb, block_rows, LANES)
-    qr = qf.reshape(v, nb, block_rows, LANES)
-    gcr = gc.reshape(v, 3, nb, block_rows, LANES)
-    zero = jnp.zeros((v, nb, block_rows, LANES), jnp.float32)
-    gdr = zero if gd is None else gd.reshape(v, nb, block_rows, LANES)
-    gtr = zero if gt is None else gt.reshape(v, nb, block_rows, LANES)
+    wr = warped_f.reshape(v, ns, l_planes, 4, split, block_rows, LANES)
+    qr = qf.reshape(v, ns, split, block_rows, LANES)
+    gcr = gc.reshape(v, 3, ns, split, block_rows, LANES)
+    zero = jnp.zeros((v, ns, split, block_rows, LANES), jnp.float32)
+    gdr = zero if gd is None else gd.reshape(v, ns, split, block_rows, LANES)
+    gtr = zero if gt is None else gt.reshape(v, ns, split, block_rows, LANES)
 
     kernel = functools.partial(_composite_bwd_kernel, L=l_planes, eps=eps,
                                has_gd=gd is not None, has_gt=gt is not None,
@@ -2113,29 +2125,29 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
     scratch = [pltpu.VMEM((l_planes, block_rows, LANES), jnp.float32)]
     if grad_tau is not None:
         scratch.append(pltpu.VMEM((l_planes, block_rows, LANES), jnp.float32))
-    px = lambda vi, si: (vi, si, 0, 0)
-    stack = pl.BlockSpec((1, l_planes, 4, 1, block_rows, LANES),
-                         lambda vi, si: (vi, 0, 0, si, 0, 0))
-    field = pl.BlockSpec((1, 1, block_rows, LANES), px)
+    stack = pl.BlockSpec((1, 1, l_planes, 4, 1, block_rows, LANES),
+                         lambda vi, si, ri: (vi, si, 0, 0, ri, 0, 0))
+    field = pl.BlockSpec((1, 1, 1, block_rows, LANES),
+                         lambda vi, si, ri: (vi, si, ri, 0, 0))
     out_shape = [jax.ShapeDtypeStruct(
-        (v, l_planes, 4, nb, block_rows, LANES), jnp.float32)]
+        (v, ns, l_planes, 4, split, block_rows, LANES), jnp.float32)]
     out_specs = [stack]
     if with_live:
         out_shape.append(jax.ShapeDtypeStruct((v, 8, LANES), jnp.float32))
         out_specs.append(pl.BlockSpec((1, 8, LANES),
-                                      lambda vi, si: (vi, 0, 0)))
+                                      lambda vi, si, ri: (vi, 0, 0)))
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(v, nb),
+            grid=(v, ns, split),
             in_specs=[
-                pl.BlockSpec((1, l_planes, 6), lambda vi, si: (vi, 0, 0),
+                pl.BlockSpec((1, l_planes, 6), lambda vi, si, ri: (vi, 0, 0),
                              memory_space=pltpu.SMEM),
                 stack,
                 field,
-                pl.BlockSpec((1, 3, 1, block_rows, LANES),
-                             lambda vi, si: (vi, 0, si, 0, 0)),
+                pl.BlockSpec((1, 3, 1, 1, block_rows, LANES),
+                             lambda vi, si, ri: (vi, 0, si, ri, 0, 0)),
                 field,
                 field,
             ],
@@ -2145,15 +2157,15 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
         out_shape=tuple(out_shape) if with_live else out_shape[0],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(scal, wr, qr, gcr, gdr, gtr)
     if with_live:
         d_samp, live = outs
-        return (d_samp.reshape(v, l_planes, 4, ns, r8, LANES),
+        return (d_samp.reshape(v, ns, l_planes, 4, r8, LANES),
                 live[:, 0, :l_planes])
-    return outs.reshape(v, l_planes, 4, ns, r8, LANES)
+    return outs.reshape(v, ns, l_planes, 4, r8, LANES)
 
 
 def render_mpi_fused_fwd(
@@ -2201,8 +2213,10 @@ def render_mpi_fused_fwd(
             carry = (c, d, t)
         warped_parts.append(w)
     color, depth, trans = carry[:3]
-    # warped stays in the subtile-flat layout (the VJP consumes it there)
-    warped = jnp.concatenate(warped_parts, axis=1) if with_warped else None
+    # warped stays in the strip-major subtile-flat layout [V, NS, L, 4,
+    # R8, 128] (the VJP consumes it there); the chunk concat on the plane
+    # axis copies contiguous L_chunk x 262 KB runs per (view, strip)
+    warped = jnp.concatenate(warped_parts, axis=2) if with_warped else None
     color = unflatten_pixels(color, h, w_img)
     depth = unflatten_pixels(depth, h, w_img)
     trans = unflatten_pixels(trans, h, w_img)
@@ -2262,7 +2276,7 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
     def fn_bwd(res, cot):
         warped, dhw, ray_dir, eye_pos, z_dir = res
         g_color, g_depth, g_trans = cot
-        v, l_pl = warped.shape[0], warped.shape[1]
+        v, l_pl = warped.shape[0], warped.shape[2]
         h, w_img = ray_dir.shape[2], ray_dir.shape[3]
         scal = jax.vmap(lambda e: plane_affine(dhw, e, tex_h, tex_w))(eye_pos)
         rx, ry, q = ray_fields(ray_dir.astype(jnp.float32),
@@ -2347,7 +2361,8 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
     def fn_bwd(res, cot):
         warped, dhw, ray_dir, eye_pos, z_dir = res
         g_color, g_depth, g_trans = cot
-        v, l_all = warped.shape[0], warped.shape[1]
+        # warped is strip-major [V, NS, L, 4, R8, 128]
+        v, l_all = warped.shape[0], warped.shape[2]
         h, w_img = ray_dir.shape[2], ray_dir.shape[3]
         scal = jax.vmap(lambda e: plane_affine(dhw, e, tex_h, tex_w))(eye_pos)
         rx, ry, q = ray_fields(ray_dir.astype(jnp.float32),
@@ -2366,18 +2381,21 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
                 with_live=grad_sparsity)
             if grad_sparsity and isinstance(d_samp6, tuple):
                 d_samp6, live_flags = d_samp6
-            d_samp = d_samp6.reshape(v, l_all, 4, -1, LANES)
         else:
+            # debug fallback (XLA composite backward is plane-major)
+            warped_pm = jnp.transpose(warped, (0, 2, 3, 1, 4, 5))
             qf = qf6.reshape(v, -1, LANES)
-            warped_f = warped.reshape(v, l_all, 4, -1, LANES)
+            warped_f = warped_pm.reshape(v, l_all, 4, -1, LANES)
             delta = scal[:, :, 4][:, :, None, None] * qf[:, None]
-            gc = gc6.reshape(v, 3, -1, LANES)
-            gd = None if gd6 is None else gd6.reshape(v, -1, LANES)
-            gt = None if gt6 is None else gt6.reshape(v, -1, LANES)
-            d_samp = composite_bwd(warped_f, delta, gc, gd, gt, eps)
+            gcx = gc6.reshape(v, 3, -1, LANES)
+            gdx = None if gd6 is None else gd6.reshape(v, -1, LANES)
+            gtx = None if gt6 is None else gt6.reshape(v, -1, LANES)
+            d_pm = composite_bwd(warped_f, delta, gcx, gdx, gtx, eps)
+            d_samp6 = jnp.transpose(
+                d_pm.reshape(v, l_all, 4, h // STRIP, -1, LANES),
+                (0, 3, 1, 2, 4, 5))
         parts = []
         if use_splat:
-            d_samp6 = d_samp.reshape(v, l_all, 4, h // STRIP, -1, LANES)
             rxf, ryf = flatten_pixels(rx), flatten_pixels(ry)
             for (lo, hi, bands), spl in zip(plan, adj_plan):
                 parts.append(warp_splat(
@@ -2386,7 +2404,7 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
                     precision=precision, lo=lo, live_flags=live_flags))
         else:
             d_samp = unflatten_pixels(
-                d_samp.reshape(v, l_all, 4, h // STRIP, -1, LANES), h, w_img)
+                jnp.transpose(d_samp6, (0, 2, 3, 1, 4, 5)), h, w_img)
             for (lo, hi, _), abands in zip(plan, adj_plan):
                 parts.append(warp_adjoint(
                     d_samp[:, lo:hi], rx, ry, scal[:, lo:hi], abands,

@@ -317,7 +317,8 @@ def test_composite_bwd_pallas_matches_xla(with_gd, with_gt):
 
     v, L, ns, r8 = 1, 5, 2, 32  # pixel block = r8 x 128 per strip
     rng = np.random.default_rng(0)
-    warped = jnp.asarray(rng.random((v, L, 4, ns, r8, LANES)).astype(np.float32))
+    # strip-major [V, NS, L, 4, R8, 128] since r4
+    warped = jnp.asarray(rng.random((v, ns, L, 4, r8, LANES)).astype(np.float32))
     scal = jnp.asarray(rng.standard_normal((v, L, 6)).astype(np.float32))
     qf = jnp.asarray(rng.random((v, ns, r8, LANES)).astype(np.float32))
     gc = jnp.asarray(rng.standard_normal((v, 3, ns, r8, LANES)).astype(np.float32))
@@ -328,15 +329,16 @@ def test_composite_bwd_pallas_matches_xla(with_gd, with_gt):
                                interpret=True, block_rows=16)
 
     qflat = qf.reshape(v, -1, LANES)
-    warped_f = warped.reshape(v, L, 4, -1, LANES)
+    warped_f = jnp.transpose(warped, (0, 2, 3, 1, 4, 5)).reshape(
+        v, L, 4, -1, LANES)
     delta = scal[:, :, 4][:, :, None, None] * qflat[:, None]
     want = composite_bwd(
         warped_f, delta, gc.reshape(v, 3, -1, LANES),
         None if gd is None else gd.reshape(v, -1, LANES),
         None if gt is None else gt.reshape(v, -1, LANES))
+    got_pm = jnp.transpose(got, (0, 2, 3, 1, 4, 5)).reshape(v, L, 4, -1, LANES)
     np.testing.assert_allclose(
-        np.asarray(got.reshape(v, L, 4, -1, LANES)), np.asarray(want),
-        rtol=2e-5, atol=2e-5)
+        np.asarray(got_pm), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
 def test_grad_sparsity_skips_doubly_occluded_planes_exactly():
@@ -377,15 +379,16 @@ def test_grad_sparsity_skips_doubly_occluded_planes_exactly():
     assert float(jnp.max(jnp.abs(g[:, 2:]))) == 0.0
 
     # and the composite backward zeroes their warped-sample cotangents
+    # (warped is strip-major [V, NS, L, 4, R8, 128] since r4)
     qf = flatten_pixels(q)
     gc6 = flatten_pixels(gc)
     warped = jnp.asarray(rng.random(
-        (1, L, 4, res // 16, res // 64 * 8, 128)).astype(np.float32))
-    warped = warped.at[:, 0, 3].set(1.0).at[:, 1, 3].set(1.0)
+        (1, res // 16, L, 4, res // 64 * 8, 128)).astype(np.float32))
+    warped = warped.at[:, :, 0, 3].set(1.0).at[:, :, 1, 3].set(1.0)
     d6 = composite_bwd_pallas(warped, scal, qf, gc6, None, None,
                               interpret=True, grad_tau=1e-7)
-    assert float(jnp.max(jnp.abs(d6[:, 2:]))) == 0.0
-    assert float(jnp.max(jnp.abs(d6[:, 0]))) > 0.0
+    assert float(jnp.max(jnp.abs(d6[:, :, 2:]))) == 0.0
+    assert float(jnp.max(jnp.abs(d6[:, :, 0]))) > 0.0
 
 
 def test_fused_multi_chunk_offsets_match_oracle():
@@ -449,10 +452,10 @@ def test_grad_sparsity_propagates_across_chunks():
     _, _, _, warped = render_mpi_fused_fwd(
         rgba, dhw, ray_dir, eye, z_dir, plan_t, early_out="grad",
         interpret=True)
-    w = np.asarray(warped)
+    w = np.asarray(warped)   # strip-major [V, NS, L, 4, R8, 128]
     # planes 2.. live in later chunks; all doubly occluded -> exact zeros
-    assert float(np.max(np.abs(w[:, 2:]))) == 0.0
-    assert float(np.max(np.abs(w[:, 0]))) > 0.0
+    assert float(np.max(np.abs(w[:, :, 2:]))) == 0.0
+    assert float(np.max(np.abs(w[:, :, 0]))) > 0.0
 
 
 def test_fused_bands_ok_batched_views_pairing():

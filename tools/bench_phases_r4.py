@@ -117,7 +117,7 @@ def main():
     warped = jax.jit(lambda x: render_mpi_fused_fwd(
         x, dhw, ray_dir, eye, z_dir, plan, early_out="grad",
         precision=PREC)[3])(rgba)
-    live = float(jnp.mean(jnp.any(warped != 0.0, axis=(2, 4, 5))))
+    live = float(jnp.mean(jnp.any(warped != 0.0, axis=(3, 4, 5))))
     print(f"# live (plane, strip) fraction after grad early-out: {live:.3f}",
           flush=True)
     res["composite_bwd_sparse"] = timed_ingraph(

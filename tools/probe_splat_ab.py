@@ -74,10 +74,10 @@ def main():
     # dense random cotangent + a 0.378-live sparse variant (first ~36 planes
     # live per strip, mirroring the grad early-out pattern)
     d6 = jax.jit(lambda k: jax.random.uniform(
-        k, (1, N_PLANES, 4, RES // STRIP, RES // 64 * 8, LANES),
+        k, (1, RES // STRIP, N_PLANES, 4, RES // 64 * 8, LANES),
         jnp.float32))(k1)
     live_mask = (jnp.arange(N_PLANES) < 36).astype(jnp.float32)
-    d6_sparse = d6 * live_mask[None, :, None, None, None, None]
+    d6_sparse = d6 * live_mask[None, None, :, None, None, None]
 
     import itertools
     import os
