@@ -697,7 +697,18 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
         def plane_body(l, carry):
             acc_rgb, acc_d, acc_t, acc_s, acc_m, started = carry
             slot = lax.rem(l, 2)
-            live = (started == 1) & (jnp.max(acc_s / acc_m) >= GRAD_TAU)
+            # the S-check's [R8, 128] reduce + scalar extract costs ~1-2 us
+            # per plane and was a large share of the fwd floor (r4): dead
+            # strips skip it via the scalar started flag, live strips
+            # re-check every 4th plane (a delayed skip is merely
+            # conservative — S is a sufficient condition, never required)
+            live = lax.cond(
+                started == 1,
+                lambda _: lax.cond(
+                    lax.rem(l, 4) == 0,
+                    lambda __: jnp.max(acc_s / acc_m) >= GRAD_TAU,
+                    lambda __: True, 0),
+                lambda _: False, 0)
 
             @pl.when(live & (l + 1 < L))
             def _():
@@ -731,7 +742,13 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
         def plane_body(l, carry):
             acc_rgb, acc_d, acc_t, started = carry
             slot = lax.rem(l, 2)
-            live = (started == 1) & (jnp.max(acc_t) >= 1e-6)
+            live = lax.cond(
+                started == 1,
+                lambda _: lax.cond(
+                    lax.rem(l, 4) == 0,
+                    lambda __: jnp.max(acc_t) >= 1e-6,
+                    lambda __: True, 0),
+                lambda _: False, 0)
 
             @pl.when(live & (l + 1 < L))
             def _():

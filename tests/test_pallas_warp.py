@@ -453,8 +453,12 @@ def test_grad_sparsity_propagates_across_chunks():
         rgba, dhw, ray_dir, eye, z_dir, plan_t, early_out="grad",
         interpret=True)
     w = np.asarray(warped)   # strip-major [V, NS, L, 4, R8, 128]
-    # planes 2.. live in later chunks; all doubly occluded -> exact zeros
-    assert float(np.max(np.abs(w[:, :, 2:]))) == 0.0
+    # planes in chunks PAST the occluders must be exact zeros (each chunk
+    # entry re-checks the carried S).  Within a chunk the S-check runs
+    # every 4th plane, so a plane can lag its death by <=3 slots — assert
+    # from the first chunk boundary after the occluders onward.
+    first_boundary = next(lo for lo, hi, _ in plan_t if lo >= 2)
+    assert float(np.max(np.abs(w[:, :, first_boundary:]))) == 0.0
     assert float(np.max(np.abs(w[:, :, 0]))) > 0.0
 
 
