@@ -497,9 +497,9 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
     else:
         s_ref = m_ref = None
     if with_warped:
-        warped_ref, buf, sems = rest
+        warped_ref, buf, sems, live_s = rest
     else:
-        buf, sems = rest
+        buf, sems, live_s = rest
         warped_ref = None
     if l_total is None:
         l_total = L
@@ -563,9 +563,9 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
         # so planes occluded by an earlier chunk were never skipped)
         acc_s0 = sin_ref[0, 0]
         acc_m0 = min_ref[0, 0]
-        live0 = jnp.max(acc_s0 / acc_m0) >= GRAD_TAU
+        live_s[0] = jnp.where(jnp.max(acc_s0 / acc_m0) >= GRAD_TAU, 1, 0)
 
-        @pl.when(live0)
+        @pl.when(live_s[0] == 1)
         def _():
             dma(0, 0).start()
     else:
@@ -574,13 +574,12 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
             # gate the whole DMA chain on the carried transmittance (r4:
             # the ungated inference path measured 53.5 ms vs the gated grad
             # path's 29.7 — occluded planes' texture bands still streamed)
-            live0 = jnp.max(acc_t0) >= 1e-6
+            live_s[0] = jnp.where(jnp.max(acc_t0) >= 1e-6, 1, 0)
 
-            @pl.when(live0)
+            @pl.when(live_s[0] == 1)
             def _():
                 dma(0, 0).start()
         else:
-            live0 = None
             dma(0, 0).start()
 
     def compute_plane(l, slot, acc_rgb, acc_d, acc_t):
@@ -695,20 +694,23 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
         # behind a single opaque one (whose residual feeds the occluder's
         # d_alpha at O(1)).  The clamped product can't hit that zero.
         def plane_body(l, carry):
-            acc_rgb, acc_d, acc_t, acc_s, acc_m, started = carry
+            acc_rgb, acc_d, acc_t, acc_s, acc_m = carry
             slot = lax.rem(l, 2)
             # the S-check's [R8, 128] reduce + scalar extract costs ~1-2 us
             # per plane and was a large share of the fwd floor (r4): dead
-            # strips skip it via the scalar started flag, live strips
+            # strips skip it via the SMEM liveness flag, live strips
             # re-check every 4th plane (a delayed skip is merely
-            # conservative — S is a sufficient condition, never required)
-            live = lax.cond(
-                started == 1,
-                lambda _: lax.cond(
-                    lax.rem(l, 4) == 0,
-                    lambda __: jnp.max(acc_s / acc_m) >= GRAD_TAU,
-                    lambda __: True, 0),
-                lambda _: False, 0)
+            # conservative — S is a sufficient condition, never required).
+            # The flag lives in SMEM scratch: a nested value-returning
+            # lax.cond does not lower in Mosaic ("region branch point").
+            started = live_s[0] == 1   # dma(l) was started iff this is set
+
+            @pl.when(started & (lax.rem(l, 4) == 0) & (l > 0))
+            def _():
+                live_s[0] = jnp.where(
+                    jnp.max(acc_s / acc_m) >= GRAD_TAU, 1, 0)
+
+            live = live_s[0] == 1
 
             @pl.when(live & (l + 1 < L))
             def _():
@@ -716,7 +718,7 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
 
             # drain dma(l) even on the dead transition (it was started at
             # iteration l-1): semaphores must balance for the next grid step
-            @pl.when(started == 1)
+            @pl.when(started)
             def _():
                 dma(l, slot).wait()
 
@@ -729,32 +731,30 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
                 zero_warped(l)
                 return acc_rgb, acc_d, acc_t, acc_s, acc_m
 
-            rgb, d, t, s, m = lax.cond(live, live_fn, dead_fn, 0)
-            return rgb, d, t, s, m, jnp.where(live, 1, 0).astype(jnp.int32)
+            return lax.cond(live, live_fn, dead_fn, 0)
 
-        acc_rgb, acc_d, acc_t, acc_s, acc_m, _ = lax.fori_loop(
+        acc_rgb, acc_d, acc_t, acc_s, acc_m = lax.fori_loop(
             0, L, plane_body,
-            (acc_rgb0, acc_d0, acc_t0, acc_s0, acc_m0,
-             jnp.where(live0, 1, 0).astype(jnp.int32)))
+            (acc_rgb0, acc_d0, acc_t0, acc_s0, acc_m0))
         s_ref[0, 0] = acc_s
         m_ref[0, 0] = acc_m
     elif early_out:
         def plane_body(l, carry):
-            acc_rgb, acc_d, acc_t, started = carry
+            acc_rgb, acc_d, acc_t = carry
             slot = lax.rem(l, 2)
-            live = lax.cond(
-                started == 1,
-                lambda _: lax.cond(
-                    lax.rem(l, 4) == 0,
-                    lambda __: jnp.max(acc_t) >= 1e-6,
-                    lambda __: True, 0),
-                lambda _: False, 0)
+            started = live_s[0] == 1
+
+            @pl.when(started & (lax.rem(l, 4) == 0) & (l > 0))
+            def _():
+                live_s[0] = jnp.where(jnp.max(acc_t) >= 1e-6, 1, 0)
+
+            live = live_s[0] == 1
 
             @pl.when(live & (l + 1 < L))
             def _():
                 dma(l + 1, lax.rem(l + 1, 2)).start()
 
-            @pl.when(started == 1)
+            @pl.when(started)
             def _():
                 dma(l, slot).wait()
 
@@ -765,13 +765,10 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
                 zero_warped(l)
                 return acc_rgb, acc_d, acc_t
 
-            rgb, d, t = lax.cond(live, live_fn, dead_fn, 0)
-            return rgb, d, t, jnp.where(live, 1, 0).astype(jnp.int32)
+            return lax.cond(live, live_fn, dead_fn, 0)
 
-        acc_rgb, acc_d, acc_t, _ = lax.fori_loop(
-            0, L, plane_body,
-            (acc_rgb0, acc_d0, acc_t0,
-             jnp.where(live0, 1, 0).astype(jnp.int32)))
+        acc_rgb, acc_d, acc_t = lax.fori_loop(
+            0, L, plane_body, (acc_rgb0, acc_d0, acc_t0))
     else:
         def plane_body(l, carry):
             acc_rgb, acc_d, acc_t = carry
@@ -903,6 +900,7 @@ def warp_composite_fwd(
                 pltpu.VMEM((1, 4, 2 * bands.by_pad, tex_pad.shape[4]),
                            compute_dtype or jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((1,), jnp.int32),   # strip liveness flag
             ],
         ),
         out_shape=tuple(out_shape),
