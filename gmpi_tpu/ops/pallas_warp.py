@@ -75,6 +75,7 @@ SUBW = 64          # pixel lanes per MXU subtile (16 rows x 64 cols)
 WIN_SUB = 384      # static texture-lane window per subtile before rebasing
 _FORCE_TRIM = None  # perf-probe override of warp_splat's trim auto-detect
 _SPLAT_BACKEND = None  # None=auto, "fat", "classic" (perf probes/tests)
+_COMP_BACKEND = None   # None=auto, "fat", "block" (perf probes/tests)
 
 
 def _gc_strips(ns_total: int) -> int:
@@ -2088,6 +2089,207 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
             live_ref[0] = jnp.maximum(live_ref[0], flags)
 
 
+def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref,
+                              warped_any, out_any, live_ref,
+                              wstack, dstack, t_ref, m_ref, isem, osem, *,
+                              L, eps, has_gd, has_gt, grad_tau, with_live,
+                              n_chunks, chunk_l4):
+    """Fat composite backward: one STRIP per grid step (r4, strip-major).
+
+    The block-partitioned version's [.., L, 4, .., br, 128] blocks are
+    L x 4 strided 32 KB runs and measured ~4x over the kernel's data floor;
+    here the strip's whole plane stack streams in as ``n_chunks`` contiguous
+    ~2 MB copies, both passes run over VMEM-resident stacks, and d_samp
+    leaves as ONE contiguous copy whose drain overlaps the next strip's
+    stream-in + pass1.
+    """
+    f32 = jnp.float32
+    vi = pl.program_id(0)
+    si = pl.program_id(1)
+    ns_total = pl.num_programs(1)
+    step = vi * ns_total + si
+    total = pl.num_programs(0) * ns_total
+    rows = wstack.shape[2]
+
+    # warped_any / out_any are flat [(V*NS), L*4, R8, 128]
+    def dma_in(k):
+        return pltpu.make_async_copy(
+            warped_any.at[pl.ds(step, 1), pl.ds(k * chunk_l4, chunk_l4)],
+            wstack.at[:, pl.ds(k * chunk_l4, chunk_l4)],
+            isem.at[lax.rem(k, 2)])
+
+    # stream the strip's plane stack as n_chunks contiguous ~2 MB copies,
+    # two in flight (start k+2 before waiting k below)
+    dma_in(0).start()
+    if n_chunks > 1:
+        dma_in(1).start()
+
+    # the previous strip's d_samp flush must land before pass2 overwrites
+    # dstack — but pass1 and the stream-in run first, hiding the drain
+    def flush(s):
+        return pltpu.make_async_copy(
+            dstack,
+            out_any.at[pl.ds(s, 1)],
+            osem.at[0])
+
+    q = q_ref[0, 0]
+    gc0 = gc_ref[0, 0, 0]
+    gc1 = gc_ref[0, 1, 0]
+    gc2 = gc_ref[0, 2, 0]
+
+    def pass1_chunk(k, carry):
+        t, m = carry
+
+        @pl.when(k + 2 < n_chunks)
+        def _():
+            dma_in(k + 2).start()
+
+        dma_in(k).wait()
+
+        def plane(j, c):
+            t, m = c
+            l = k * (chunk_l4 // 4) + j
+            t_ref[l] = t
+            m_ref[l] = m
+            a = wstack[0, l * 4 + 3]
+            one_m = jnp.maximum(1.0 - a, 0.0) + eps   # see block kernel note
+            return t * one_m, jnp.minimum(m, one_m)
+
+        return lax.fori_loop(0, chunk_l4 // 4, plane, (t, m))
+
+    t_total, _ = lax.fori_loop(
+        0, n_chunks, pass1_chunk,
+        (jnp.ones((rows, LANES), f32), jnp.ones((rows, LANES), f32)))
+
+    gt_term = None
+    if has_gt:
+        gt_term = gt_ref[0, 0] * t_total
+
+    @pl.when(step > 0)
+    def _():
+        flush(step - 1).wait()
+
+    lane_i = lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    sub_i8 = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+
+    def pass2(i, carry):
+        u, flags = carry
+        l = L - 1 - i
+        r0 = wstack[0, l * 4 + 0]
+        r1 = wstack[0, l * 4 + 1]
+        r2 = wstack[0, l * 4 + 2]
+        a = wstack[0, l * 4 + 3]
+        t_excl = t_ref[l]
+        e = gc0 * r0 + gc1 * r1 + gc2 * r2
+        if has_gd:
+            e = e + gd_ref[0, 0] * (scal_ref[0, l, 4] * q)
+        one_m = jnp.maximum(1.0 - a, 0.0) + eps
+        w = a * t_excl
+        d_alpha = t_excl * e - u / one_m
+        if has_gt:
+            d_alpha = d_alpha - gt_term / one_m
+        if grad_tau is not None:
+            live_px = (t_excl / m_ref[l]) >= grad_tau
+            w = jnp.where(live_px, w, 0.0)
+            d_alpha = jnp.where(live_px, d_alpha, 0.0)
+            if with_live:
+                any_live = jnp.any(live_px).astype(f32)
+                flags = jnp.maximum(
+                    flags,
+                    jnp.where((lane_i == l) & (sub_i8 == 0), any_live, 0.0))
+        dstack[0, l * 4 + 0] = w * gc0
+        dstack[0, l * 4 + 1] = w * gc1
+        dstack[0, l * 4 + 2] = w * gc2
+        dstack[0, l * 4 + 3] = d_alpha
+        return u + w * e, flags
+
+    _, flags = lax.fori_loop(
+        0, L, pass2, (jnp.zeros((rows, LANES), f32), jnp.zeros((8, LANES), f32)))
+
+    flush(step).start()
+
+    @pl.when(step == total - 1)
+    def _():
+        flush(step).wait()
+
+    if with_live:
+        first = (pl.program_id(1) == 0)
+
+        @pl.when(first)
+        def _():
+            live_ref[0] = flags
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            live_ref[0] = jnp.maximum(live_ref[0], flags)
+
+
+def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
+                       grad_tau, with_live):
+    """Per-strip fat composite backward (see :func:`_composite_bwd_fat_kernel`)."""
+    v, ns, l_planes = warped_f.shape[0], warped_f.shape[1], warped_f.shape[2]
+    r8 = warped_f.shape[4]
+    l4 = l_planes * 4
+    for chunk_l4 in (32, 16, 8, 4):
+        if l4 % chunk_l4 == 0:
+            break
+    n_chunks = l4 // chunk_l4
+    w_flat = warped_f.reshape(v * ns, l4, r8, LANES)
+    zero = jnp.zeros((v, ns, r8, LANES), jnp.float32)
+    gdr = zero if gd is None else gd
+    gtr = zero if gt is None else gt
+
+    kernel = functools.partial(
+        _composite_bwd_fat_kernel, L=l_planes, eps=eps,
+        has_gd=gd is not None, has_gt=gt is not None,
+        grad_tau=grad_tau, with_live=with_live,
+        n_chunks=n_chunks, chunk_l4=chunk_l4)
+    field = pl.BlockSpec((1, 1, r8, LANES), lambda vi, si: (vi, si, 0, 0))
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(v, ns),
+            in_specs=[
+                pl.BlockSpec((1, l_planes, 6), lambda vi, si: (vi, 0, 0),
+                             memory_space=pltpu.SMEM),
+                field,
+                pl.BlockSpec((1, 3, 1, r8, LANES),
+                             lambda vi, si: (vi, 0, si, 0, 0)),
+                field,
+                field,
+                pl.BlockSpec(memory_space=pl.ANY),   # warped (flat)
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),   # d_samp (flat)
+                pl.BlockSpec((1, 8, LANES), lambda vi, si: (vi, 0, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, l4, r8, LANES), jnp.float32),   # wstack
+                pltpu.VMEM((1, l4, r8, LANES), jnp.float32),   # dstack
+                pltpu.VMEM((l_planes, r8, LANES), jnp.float32),  # t
+                pltpu.VMEM((l_planes, r8, LANES), jnp.float32),  # m
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((v * ns, l4, r8, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((v, 8, LANES), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(scal, qf, gc, gdr, gtr, w_flat)
+    d_samp, live = outs
+    d_samp = d_samp.reshape(v, ns, l_planes, 4, r8, LANES)
+    if with_live:
+        return d_samp, live[:, 0, :l_planes]
+    return d_samp
+
+
 def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
                          eps: float = EPS, interpret: bool = False,
                          block_rows: int = None, grad_tau=None,
@@ -2109,6 +2311,16 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
     """
     v, ns, l_planes = warped_f.shape[0], warped_f.shape[1], warped_f.shape[2]
     r8 = warped_f.shape[4]
+    with_live_ok = grad_tau is not None and l_planes <= LANES
+    if _COMP_BACKEND != "block" and block_rows is None:
+        # fat per-strip variant when its resident stacks fit VMEM (the
+        # block variant's strided L x 4 x 32 KB runs measured ~4x over the
+        # data floor)
+        fat_bytes = (2 * l_planes * 4 + 2 * l_planes) * r8 * LANES * 4
+        if (_COMP_BACKEND == "fat" or fat_bytes + (8 << 20) < 88 << 20):
+            return _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps,
+                                      interpret, grad_tau,
+                                      with_live and with_live_ok)
     if block_rows is None:
         # largest pixel block whose double-buffered in+out stacks + t/m
         # scratch fit the VMEM budget: the [.., L, 4, 1, br, 128] blocks are
