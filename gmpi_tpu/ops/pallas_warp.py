@@ -1411,6 +1411,14 @@ def warp_splat_fat(
     if wp < 512:
         wp = 1 << (wp - 1).bit_length()
     rows_pad = OUT_PAD_TOP + tex_h + OUT_PAD_BOT
+    # y-window bound: the accumulate slices acc[:, row8:row8+rwp] with row8
+    # up to OUT_PAD_TOP+tex_h-8, so rwp must fit the bottom pad — otherwise
+    # a steep pose spread silently corrupts the other double-buffered slot
+    # (the block kernel spill-carries arbitrary rwp; use it instead)
+    assert win_rows(STRIP + bands.d_y) <= OUT_PAD_BOT + 8, (
+        f"fat splat y-window {win_rows(STRIP + bands.d_y)} rows exceeds "
+        f"OUT_PAD_BOT+8={OUT_PAD_BOT + 8}; use the block-partitioned kernel "
+        f"for d_y={bands.d_y}")
 
     if live_flags is None:
         flags = jnp.ones((v, l_total), jnp.int32)
@@ -1502,7 +1510,8 @@ def warp_splat(
     if _SPLAT_BACKEND != "classic":
         ns_, r8_ = rx_flat.shape[1], rx_flat.shape[2]
         if (_SPLAT_BACKEND == "fat"
-                or splat_fat_fits(tex_h, tex_w, ns_, r8_)):
+                or (splat_fat_fits(tex_h, tex_w, ns_, r8_)
+                    and win_rows(STRIP + bands.d_y) <= OUT_PAD_BOT + 8)):
             return warp_splat_fat(
                 d_samp_flat, rx_flat, ry_flat, scal, bands, tex_h, tex_w,
                 interpret=interpret, precision=precision, lo=lo,
@@ -2296,10 +2305,11 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
                          with_live: bool = False):
     """Pallas composite backward over subtile-flat stacks.
 
-    warped_f [V, L, 4, NS, R8, 128]; qf [V, NS, R8, 128];
-    gc [V, 3, NS, R8, 128]; gd/gt optional [V, NS, R8, 128]; scal [V, L, 6].
-    Returns d_samp [V, L, 4, NS, R8, 128] — the drop-in equivalent of
-    reshaping through :func:`composite_bwd` (oracle-tested).
+    warped_f [V, NS, L, 4, R8, 128] (strip-major — the forward's residual
+    layout); qf [V, NS, R8, 128]; gc [V, 3, NS, R8, 128]; gd/gt optional
+    [V, NS, R8, 128]; scal [V, L, 6].  Returns d_samp in the same strip-major
+    [V, NS, L, 4, R8, 128] layout — the drop-in equivalent of transposing
+    through the plane-major :func:`composite_bwd` (oracle-tested).
 
     ``grad_tau``: enable grad-safe sparsity — cotangents of planes whose
     ``S = T_excl / min-factor`` is below tau are zeroed exactly (their true

@@ -139,11 +139,14 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
     fused_plans = None
     use_fused = t.use_fused_renderer
     if use_fused is None:
-        # auto: the fused Pallas kernel is the production path on real
-        # accelerators (BENCH gates it vs the gather oracle every round);
-        # CPU runs keep the portable path (Pallas-TPU does not lower there)
+        # auto: the fused Pallas kernel is the production path on TPU (BENCH
+        # gates it vs the gather oracle every round); non-TPU backends keep
+        # the portable path (the kernels are Pallas-TPU — pltpu grid specs /
+        # SMEM / async copies do not lower on CPU or GPU)
+        on_tpu = jax.default_backend() == "tpu" or any(
+            d.platform == "tpu" for d in jax.devices())
         use_fused = (
-            jax.default_backend() != "cpu"
+            on_tpu
             and align_corners
             and cfg.hparams.img_size % 64 == 0
         )
