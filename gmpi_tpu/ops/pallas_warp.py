@@ -1224,7 +1224,10 @@ def _splat_plane_kernel(flags_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
     d_y = bands.d_y
     rw = STRIP + d_y
     rwp = win_rows(rw)
-    w_add = 384
+    # accumulate-window lanes: 384 covers any 128-aligned rebase of a b_x-wide
+    # span; small textures (wp < 384, e.g. 64^2 toy MPIs) clamp to the whole
+    # padded width — the 384 constant overran their accumulator
+    w_add = min(384, wp)
     f32 = jnp.float32
     vi = pl.program_id(0)
     li = pl.program_id(1)
