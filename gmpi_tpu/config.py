@@ -107,6 +107,16 @@ class TrainHparams:
     # peak holds ONE chunk's residuals (~1/n_chunks) at ~2x forward cost —
     # what lets 96x1024^2 training fit a 16 GB chip
     fused_remat: bool = False
+    # multi-chip renderer sharding inside the train step: shard the plane
+    # axis (and optionally output pixel rows) of every full-resolution render
+    # over a ``("plane"[, "tile"])`` device mesh (``parallel/render.py``) with
+    # params/batch replicated — per-chip renderer residuals drop ~n_plane x,
+    # which is what makes FFHQ1024 training fit 16 GB v5e chips (the
+    # reference's 8x 32 GB V100 config, ``docs/TRAIN_EVAL.md:152``).  The
+    # caller passes the mesh to ``make_train_step``; these fields drive the
+    # loop's mesh construction.  0/1 = single-device renderer.
+    renderer_plane_shards: int = 0
+    renderer_tile_shards: int = 0
     # edge-aware depth smoothness loss on rendered (rgb, depth)
     # (``configs/gmpi.yml:51-56``; the reference defines the loss but its
     # train path raises NotImplementedError — we support it)

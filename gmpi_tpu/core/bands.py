@@ -108,6 +108,32 @@ def fused_plans_for_config(cfg, img_size: Optional[int] = None,
                       margin=margin, align_corners=cfg.planes.align_corners)
 
 
+def fused_slab_plan_for_config(cfg, img_size: Optional[int] = None,
+                               n_planes: Optional[int] = None, margin: int = 3):
+    """Single (FusedBands, SplatPlan) covering EVERY plane of the config —
+    the static band set of the fused *slab* renderer inside the plane-sharded
+    multi-chip path (``parallel/render.py``): shard_map is SPMD, so all plane
+    shards share one compiled kernel and its bands must cover the worst shard.
+    Built as the elementwise union of the per-chunk plans (near planes simply
+    run with the far planes' wider tap loops)."""
+    from gmpi_tpu.ops.pallas_warp import FusedBands, SplatPlan
+
+    plan, adj = fused_plans_for_config(cfg, img_size=img_size,
+                                       n_planes=n_planes, margin=margin)
+    bands = [b for _, _, b in plan]
+    union = FusedBands(
+        d_x=max(b.d_x for b in bands),
+        d_y=max(b.d_y for b in bands),
+        by_pad=max(b.by_pad for b in bands),
+        b_x=max(b.b_x for b in bands),
+        b_x2=(0 if any(b.b_x2 == 0 for b in bands)
+              else max(b.b_x2 for b in bands)),
+    )
+    adj = [SplatPlan(*a) for a in adj]
+    splat = SplatPlan(n_ps=max(a.n_ps for a in adj), n_blocks=adj[0].n_blocks)
+    return union, splat
+
+
 def bands_for_config(cfg, img_size: Optional[int] = None, n_planes: Optional[int] = None):
     """(band_y, band_x) for an ``ExperimentConfig``, or None when the image is
     too small for tiling to pay off."""

@@ -197,10 +197,26 @@ def train(
         state = load_checkpoint(ckpt_dir, state)
         print(f"resumed from step {int(np.asarray(state.step))}", flush=True)
 
+    # device layout: a renderer mesh (plane x tile sharding of every
+    # full-res render — the FFHQ1024 memory axis) when configured, else a
     # data mesh over as many devices as divide the batch
     import math
 
+    rp = max(cfg.train.renderer_plane_shards, 1)
+    rt = max(cfg.train.renderer_tile_shards, 1)
+    renderer_mesh = None
+    if rp > 1 or rt > 1:
+        devs = jax.devices()
+        assert rp * rt <= len(devs), (rp, rt, len(devs))
+        renderer_mesh = make_mesh([rp, rt], ("plane", "tile"),
+                                  devices=devs[: rp * rt])
+
     def data_shardings(batch_size):
+        if renderer_mesh is not None:
+            # params AND batch replicated: every chip renders its plane slab
+            # / pixel rows of the whole batch (DP composes across hosts)
+            repl_ = NamedSharding(renderer_mesh, P())
+            return repl_, repl_
         devs = jax.devices()
         n_data = math.gcd(len(devs), batch_size)
         mesh = make_mesh([n_data], ("data",), devices=devs[:n_data])
@@ -216,7 +232,7 @@ def train(
 
     step0 = int(np.asarray(state.step))
     stage_cfg = apply_to_config(cfg, curriculum.at_step(step0)) if curriculum else cfg
-    step_fn = make_train_step(stage_cfg)
+    step_fn = make_train_step(stage_cfg, mesh=renderer_mesh)
     next_boundary = curriculum.next_upsample_step(step0) if curriculum else float("inf")
     if stage_cfg.hparams.batch_size != cfg.hparams.batch_size:
         repl, batch_sh = data_shardings(stage_cfg.hparams.batch_size)
@@ -232,7 +248,7 @@ def train(
         if curriculum is not None and step >= next_boundary:
             entry = curriculum.at_step(step)
             stage_cfg = apply_to_config(cfg, entry)
-            step_fn = make_train_step(stage_cfg)
+            step_fn = make_train_step(stage_cfg, mesh=renderer_mesh)
             next_boundary = curriculum.next_upsample_step(step)
             repl, batch_sh = data_shardings(stage_cfg.hparams.batch_size)
             state = jax.device_put(state, repl)

@@ -110,10 +110,24 @@ def _ema_update(ema: dict, params: dict, decay: float) -> dict:
     return jax.tree_util.tree_map(lambda e, p: decay * e + (1.0 - decay) * p, ema, params)
 
 
-def make_train_step(cfg: ExperimentConfig, donate: bool = True):
+def make_train_step(cfg: ExperimentConfig, donate: bool = True,
+                    mesh=None, return_grads: bool = False):
     """Build the jitted train step for a preset.  All geometry (plane volume,
     conditioning grids, camera rays basis) is computed host-side once and
-    closed over as constants."""
+    closed over as constants.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``"plane"`` (and optionally
+    ``"tile"``) axis routes every full-resolution render through the
+    multi-chip sharded renderer (``parallel/render.py``) with params and
+    batch replicated — each chip warps/splats only its plane slab, dropping
+    per-chip renderer residuals ~n_plane x (the memory axis that lets
+    FFHQ1024 train on 16 GB chips; the reference's equivalent capability is
+    8x 32 GB V100 DDP, ``docs/TRAIN_EVAL.md:152``).  The G/D phases run
+    replicated exactly as in the single-device step.
+
+    ``return_grads``: the step additionally returns the raw D/G gradient
+    pytrees (test hook — the sharded-vs-single-device allclose gate).
+    """
     gen_cfg = cfg.generator_cfg()
     disc_cfg = cfg.discriminator_cfg()
     geom = cfg.plane_geometry()
@@ -158,6 +172,80 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
             "(the fused kernel's coordinate convention)")
         fused_plans = fused_plans_for_config(cfg)
 
+    # -- multi-chip sharded renderer (plane / plane x tile mesh) -----------
+    shard_planes = shard_tiles = 1
+    if mesh is not None:
+        ax = dict(zip(mesh.axis_names, mesh.devices.shape))
+        shard_planes = ax.get("plane", 1)
+        shard_tiles = ax.get("tile", 1)
+    use_sharded_renderer = shard_planes > 1 or shard_tiles > 1
+    slab_fn = None
+    if use_sharded_renderer:
+        assert n_planes % max(shard_planes, 1) == 0, (n_planes, shard_planes)
+        assert cfg.hparams.img_size % max(shard_tiles, 1) == 0, (
+            cfg.hparams.img_size, shard_tiles)
+        if fused_plans is not None:
+            # SPMD: one fused slab kernel shared by all plane shards — its
+            # static bands are the union over the full plane range
+            from gmpi_tpu.core.bands import fused_slab_plan_for_config
+            from gmpi_tpu.ops.pallas_warp import make_fused_slab_renderer
+
+            slab_bands, slab_splat = fused_slab_plan_for_config(cfg)
+            cd_s = jnp.bfloat16 if t.fused_compute_dtype == "bf16" else None
+            assert (cfg.hparams.img_size // max(shard_tiles, 1)) % 16 == 0
+            slab_fn = make_fused_slab_renderer(
+                tuple(slab_bands), tuple(slab_splat),
+                cfg.hparams.tex_size, cfg.hparams.tex_size,
+                precision="bf16x3", compute_dtype=cd_s)
+
+    def render_views_sharded(mpi, ray_dir, eye, z_dir):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gmpi_tpu.parallel.render import (render_mpi_plane_sharded,
+                                              render_mpi_plane_tile_sharded,
+                                              render_mpi_tile_sharded)
+
+        bands2 = tiled_bands[:2] if tiled_bands is not None else None
+        if shard_planes > 1 and shard_tiles > 1:
+            out = render_mpi_plane_tile_sharded(
+                mesh, mpi, geom.dhw, ray_dir, eye, z_dir,
+                align_corners=align_corners, tiled_bands=bands2,
+                slab_fn=slab_fn)
+        elif shard_planes > 1:
+            out = render_mpi_plane_sharded(
+                mesh, mpi, geom.dhw, ray_dir, eye, z_dir,
+                align_corners=align_corners, tiled_bands=bands2,
+                slab_fn=slab_fn)
+        else:
+            render_fn = None
+            if fused_plans is not None:
+                from gmpi_tpu.core.renderer import render_mpi_fused
+
+                cd_t = jnp.bfloat16 if t.fused_compute_dtype == "bf16" else None
+                render_fn = lambda r, d, rd, e, z: render_mpi_fused(
+                    r, d, rd, e, z, fused_plans, compute_dtype=cd_t,
+                    with_disp=False)
+            out = render_mpi_tile_sharded(
+                mesh, mpi, geom.dhw, ray_dir, eye, z_dir,
+                align_corners=align_corners, tiled_bands=bands2,
+                render_fn=render_fn)
+        # Re-replicate the rendered images before they reach D: (a) running
+        # D row-sharded would pay a halo exchange per conv for no memory win
+        # (the image is tiny next to the renderer residuals this mode
+        # shards), and (b) jit'd param-grads of a computation whose input
+        # stays sharded on ONE axis of a 2-D mesh come back scaled by 1/n of
+        # the orthogonal axis on jax 0.9.0's CPU SPMD partitioner (losses
+        # correct, weight grads 4x low on a (4, 2) mesh — pinned by
+        # tests/test_train_sharded.py, which fails loudly without this).
+        repl = NamedSharding(mesh, P())
+        constrain = lambda x: (None if x is None
+                               else jax.lax.with_sharding_constraint(x, repl))
+        from gmpi_tpu.core.renderer import RenderOutput
+
+        return RenderOutput(color=constrain(out.color),
+                            depth=constrain(out.depth),
+                            disp=constrain(out.disp))
+
     def synth(params_g, buffers_g, z, rng, stop_all_grad=False):
         mpi = gen_cfg.apply(
             params_g, buffers_g, z, None, xyz_dict, n_planes,
@@ -191,7 +279,9 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
             out = render_mpi(mpi, geom.dhw, ray_dir, eye, z_dir, align_corners)
         else:
             ray_dir, eye, z_dir = cam.generate_rays(intr, c2w)
-            if fused_plans is not None:
+            if use_sharded_renderer:
+                out = render_views_sharded(mpi, ray_dir, eye, z_dir)
+            elif fused_plans is not None:
                 from gmpi_tpu.core.renderer import (render_mpi_fused,
                                                     render_mpi_fused_remat)
 
@@ -199,12 +289,13 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
                 render = (render_mpi_fused_remat if t.fused_remat
                           else render_mpi_fused)
                 out = render(mpi, geom.dhw, ray_dir, eye, z_dir,
-                             fused_plans, compute_dtype=cd)
+                             fused_plans, compute_dtype=cd, with_disp=False)
             elif t.renderer_plane_chunk:
                 out = render_mpi_chunked(
                     mpi, geom.dhw, ray_dir, eye, z_dir,
                     plane_chunk=t.renderer_plane_chunk,
                     align_corners=align_corners, tiled_bands=tiled_bands,
+                    with_disp=False,
                 )
             else:
                 out = render_mpi(mpi, geom.dhw, ray_dir, eye, z_dir, align_corners,
@@ -276,10 +367,10 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
         (d_loss, (loss_real, loss_fake, r1)), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.params_d)
         metrics = {"d_loss": d_loss, "d_loss_real": loss_real, "d_loss_fake": loss_fake, "r1": r1}
         if not t.train_d:  # frozen D: losses reported, no update
-            return state, metrics
+            return state, metrics, grads
         updates, new_opt_d = opt_d.update(grads, state.opt_d, state.params_d)
         new_params_d = optax.apply_updates(state.params_d, updates)
-        return state._replace(params_d=new_params_d, opt_d=new_opt_d), metrics
+        return state._replace(params_d=new_params_d, opt_d=new_opt_d), metrics, grads
 
     # -- G phase -------------------------------------------------------------
 
@@ -349,7 +440,7 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
             ema=_ema_update(state.ema, new_params_g, t.ema_decay),
             ema2=_ema_update(state.ema2, new_params_g, t.ema2_decay),
         )
-        return new_state, {"g_loss": g_loss}
+        return new_state, {"g_loss": g_loss}, grads
 
     # -- full step -----------------------------------------------------------
 
@@ -357,11 +448,15 @@ def make_train_step(cfg: ExperimentConfig, donate: bool = True):
         """One D update + one G update.  ``real_imgs`` in [-1, 1],
         ``real_pose`` the dataset's flat w2c conditioning vector."""
         rng_d, rng_g = jax.random.split(rng)
-        state, d_metrics = d_phase(state, real_imgs, real_pose, rng_d)
+        state, d_metrics, grads_d = d_phase(state, real_imgs, real_pose, rng_d)
         # G updates per D update (``G_iters``, ``train.py:637``)
         for gi in range(t.g_iters):
-            state, g_metrics = g_phase(state, jax.random.fold_in(rng_g, gi), real_imgs.shape[0])
+            state, g_metrics, grads_g = g_phase(
+                state, jax.random.fold_in(rng_g, gi), real_imgs.shape[0])
         state = state._replace(step=state.step + 1)
-        return state, {**d_metrics, **g_metrics}
+        metrics = {**d_metrics, **g_metrics}
+        if return_grads:
+            return state, metrics, {"d": grads_d, "g": grads_g}
+        return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

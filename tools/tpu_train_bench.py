@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--fused_remat", action="store_true",
                     help="per-chunk checkpoint through the fused renderer")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="append the JSON record to this file "
+                         "(e.g. TRAINBENCH_r05.json)")
     args = ap.parse_args()
 
     import jax
@@ -94,6 +97,20 @@ def main():
     t_init = time.perf_counter() - t0
 
     step_fn = make_train_step(cfg, donate=True)
+    # compiled per-chip memory (buffer-assignment truth, not just the
+    # allocator high-water mark): argument/output/temp bytes of the step
+    mem = {}
+    try:
+        lowered = step_fn.lower(state, real, pose, jax.random.key(1))
+        ma = lowered.compile().memory_analysis()
+        mem = {
+            "compiled_arg_gib": round(ma.argument_size_in_bytes / 2**30, 3),
+            "compiled_out_gib": round(ma.output_size_in_bytes / 2**30, 3),
+            "compiled_temp_gib": round(ma.temp_size_in_bytes / 2**30, 3),
+            "compiled_alias_gib": round(ma.alias_size_in_bytes / 2**30, 3),
+        }
+    except Exception as e:  # memory_analysis availability varies per backend
+        mem = {"compiled_mem_error": str(e)[:120]}
     t0 = time.perf_counter()
     state, metrics = step_fn(state, real, pose, jax.random.key(1))
     jax.block_until_ready((state, metrics))
@@ -123,14 +140,22 @@ def main():
         "init_s": round(t_init, 2),
         "first_step_s_incl_compile": round(t_compile, 2),
         "step_s_median": round(float(np.median(times)), 4),
+        "step_s_p10": round(float(np.percentile(times, 10)), 4),
+        "step_s_p90": round(float(np.percentile(times, 90)), 4),
         "step_s_min": round(float(np.min(times)), 4),
         "imgs_per_s": round(args.batch / float(np.median(times)), 3),
+        "imgs_per_s_best": round(args.batch / float(np.min(times)), 3),
         "hbm_peak_gib": round(hbm_peak() / 2**30, 2),
+        **mem,
         "steps": args.steps,
         "finite": finite,
         "metrics_last": {k: round(v, 4) for k, v in metrics_f.items()},
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":
