@@ -101,7 +101,8 @@ def _oracle_loss_fn(geom, ray_dir, eye, z_dir, cot, plane_chunk, tiled_bands):
 
     def loss(x):
         out = render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir,
-                                 plane_chunk=plane_chunk, tiled_bands=tiled_bands)
+                                 plane_chunk=plane_chunk, tiled_bands=tiled_bands,
+                                 with_disp=False)
         return jnp.sum(out.color * cot), out.color
 
     return loss
@@ -343,7 +344,8 @@ def run_xla(n_planes, res, tex, plane_chunk):
 
     def loss(x):
         out = render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir,
-                                 plane_chunk=plane_chunk, tiled_bands=bands)
+                                 plane_chunk=plane_chunk, tiled_bands=bands,
+                                 with_disp=False)
         return jnp.sum(out.color * cot), out.color
 
     best = _time_grad(jax.grad(lambda x: loss(x)[0]), rgba)
@@ -354,7 +356,7 @@ def run_xla(n_planes, res, tex, plane_chunk):
     # replaced).  Gather needs small plane chunks (index temps).
     def oracle(x):
         out = render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir,
-                                 plane_chunk=min(4, n_planes))
+                                 plane_chunk=min(4, n_planes), with_disp=False)
         return jnp.sum(out.color * cot), out.color
 
     c_m = jax.jit(lambda x: loss(x)[1])(rgba)

@@ -92,11 +92,11 @@ def main():
         return best
 
     fwd = jax.jit(
-        lambda x: render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir,
+        lambda x: render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir, with_disp=False,
                                      plane_chunk=args.plane_chunk, tiled_bands=bands).color
     )
     loss = lambda x: jnp.sum(
-        render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir,
+        render_mpi_chunked(x, geom.dhw, ray_dir, eye, z_dir, with_disp=False,
                            plane_chunk=args.plane_chunk, tiled_bands=bands).color * cot
     )
     grad = jax.jit(jax.grad(loss))

@@ -50,10 +50,11 @@ class RenderOutput(NamedTuple):
     color: jnp.ndarray  # [V, 3, H, W], range [0, 1] (pre the [-1,1] remap)
     depth: jnp.ndarray  # [V, 1, H, W]
     # Expected disparity ``sum_l w_l / depth_l`` (``gmpi/core/mpi.py:431``).
-    # Populated by :func:`render_mpi`; the chunked / fused / sharded fast
-    # paths return ``None`` (disp is consumed by eval-side tooling, which
-    # renders through the full path).  Note ``disp != 1/depth`` pixelwise —
-    # both are weight-averaged independently, as in the reference.
+    # Populated by every path by default (gather / chunked / fused /
+    # sharded); perf-critical callers that never consume it (the train
+    # step, the bench) pass ``with_disp=False`` and get ``None``.  Note
+    # ``disp != 1/depth`` pixelwise — both are weight-averaged
+    # independently, as in the reference.
     disp: Optional[jnp.ndarray] = None  # [V, 1, H, W]
 
 
@@ -220,25 +221,34 @@ def composite_partial(
     rgb: jnp.ndarray,
     alpha: jnp.ndarray,
     depth: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    disp: Optional[jnp.ndarray] = None,
+):
     """Composite one contiguous plane *slab* to premultiplied partials.
 
     Returns ``(color_pre [V,3,H,W], depth_pre [V,1,H,W], trans [V,1,H,W])``
-    where ``trans`` is the slab's total transmittance ``prod(1 - a + eps)``.
-    Slabs combine front-to-back with :func:`combine_segments` — the
-    associativity that makes plane-sharding across chips exact.
+    where ``trans`` is the slab's total transmittance ``prod(1 - a + eps)``;
+    with ``disp`` given, a premultiplied expected-disparity partial
+    (``gmpi/core/mpi.py:431``) is inserted before ``trans``.  Slabs combine
+    front-to-back with :func:`combine_segments` — the associativity that
+    makes plane-sharding across chips exact.
     """
-    color, depth_out = composite(rgb, alpha, depth)
     trans = jnp.prod(1.0 - alpha + COMPOSITE_EPS, axis=1)
-    return color, depth_out, trans
+    if disp is None:
+        color, depth_out = composite(rgb, alpha, depth)
+        return color, depth_out, trans
+    color, depth_out, disp_out = composite(rgb, alpha, depth, disp)
+    return color, depth_out, disp_out, trans
 
 
 def combine_segments(front, back):
-    """Over-combine two adjacent slab partials (front first):
-    ``(c_f + T_f * c_b, d_f + T_f * d_b, T_f * T_b)``."""
-    cf, df, tf_ = front
-    cb, db, tb = back
-    return cf + tf_ * cb, df + tf_ * db, tf_ * tb
+    """Over-combine two adjacent slab partials (front first).
+
+    Partials are ``(*premultiplied, trans)`` tuples — any number of
+    premultiplied channels (color, depth[, disp]) followed by the slab
+    transmittance: ``(x_f + T_f * x_b ..., T_f * T_b)``."""
+    tf_, tb = front[-1], back[-1]
+    return tuple(f + tf_ * b for f, b in zip(front[:-1], back[:-1])) + (
+        tf_ * tb,)
 
 
 def render_mpi(
@@ -320,6 +330,7 @@ def render_mpi_chunked(
     remat: bool = False,
     tiled_bands: Optional[Tuple[int, int]] = None,
     patch_backend: str = "xla",
+    with_disp: bool = True,
 ) -> RenderOutput:
     """Memory-bounded render: planes processed in contiguous front-to-back
     slabs of size ``plane_chunk`` via ``lax.scan`` + segment compositing.
@@ -344,10 +355,18 @@ def render_mpi_chunked(
     h, w = ray_dir.shape[2], ray_dir.shape[3]
 
     init = (
-        jnp.zeros((v, 3, h, w), jnp.float32),
-        jnp.zeros((v, 1, h, w), jnp.float32),
-        jnp.ones((v, 1, h, w), jnp.float32),
+        (jnp.zeros((v, 3, h, w), jnp.float32),
+         jnp.zeros((v, 1, h, w), jnp.float32))
+        + ((jnp.zeros((v, 1, h, w), jnp.float32),) if with_disp else ())
+        + (jnp.ones((v, 1, h, w), jnp.float32),)
     )
+
+    def _out(carry):
+        if with_disp:
+            color, depth, disp, _ = carry
+            return RenderOutput(color=color, depth=depth, disp=disp)
+        color, depth, _ = carry
+        return RenderOutput(color=color, depth=depth)
 
     if tiled_bands is not None and len(tiled_bands) > 0 and isinstance(tiled_bands[0], (tuple, list)):
         # per-chunk bands: plane extents grow front-to-back, so near slabs
@@ -358,18 +377,19 @@ def render_mpi_chunked(
         carry = init
         for k in range(n_chunks):
             fn = lambda r, d, b=tuple(tiled_bands[k]): render_slab_partial(
-                r, d, ray_dir, eye_pos, z_dir, align_corners, b, patch_backend)
+                r, d, ray_dir, eye_pos, z_dir, align_corners, b, patch_backend,
+                with_disp=with_disp)
             if remat:
                 fn = jax.checkpoint(fn)
             carry = combine_segments(carry, fn(rgba_c[k], dhw_c[k]))
-        color, depth, _ = carry
-        return RenderOutput(color=color, depth=depth)
+        return _out(carry)
 
     slab_fn = render_slab_partial
     if remat:
         slab_fn = jax.checkpoint(
             lambda r, d: render_slab_partial(r, d, ray_dir, eye_pos, z_dir, align_corners,
-                                             tiled_bands, patch_backend)
+                                             tiled_bands, patch_backend,
+                                             with_disp=with_disp)
         )
 
     def body(carry, slab):
@@ -378,11 +398,11 @@ def render_mpi_chunked(
             out = slab_fn(slab_rgba, slab_dhw)
         else:
             out = slab_fn(slab_rgba, slab_dhw, ray_dir, eye_pos, z_dir, align_corners,
-                          tiled_bands, patch_backend)
+                          tiled_bands, patch_backend, with_disp=with_disp)
         return combine_segments(carry, out), None
 
-    (color, depth, _), _ = lax.scan(body, init, (rgba_c, dhw_c))
-    return RenderOutput(color=color, depth=depth)
+    carry, _ = lax.scan(body, init, (rgba_c, dhw_c))
+    return _out(carry)
 
 
 def render_slab_partial(
@@ -394,9 +414,10 @@ def render_slab_partial(
     align_corners: bool = True,
     tiled_bands: Optional[Tuple[int, int]] = None,
     patch_backend: str = "xla",
+    with_disp: bool = False,
 ):
     """Warp + partially composite one plane slab; returns slab partials for
-    :func:`combine_segments`."""
+    :func:`combine_segments` (``with_disp``: 4-tuple incl. disparity)."""
     v, l_planes = rgba.shape[0], rgba.shape[1]
     th, tw = rgba.shape[3], rgba.shape[4]
     h, w = ray_dir.shape[2], ray_dir.shape[3]
@@ -413,6 +434,9 @@ def render_slab_partial(
     rgb = rgb.reshape(v, l_planes, 3, h, w)
     alpha = alpha.reshape(v, l_planes, 1, h, w)
     depth = depth.reshape(v, l_planes, 1, h, w)
+    if with_disp:
+        disp = disp.reshape(v, l_planes, 1, h, w)
+        return composite_partial(rgb, alpha, depth, disp)
     return composite_partial(rgb, alpha, depth)
 
 
@@ -466,6 +490,7 @@ def render_mpi_fused(
     interpret: bool = False,
     precision="bf16x3",
     compute_dtype=None,
+    with_disp: bool = True,
 ) -> RenderOutput:
     """Render with the fused Pallas warp+composite kernel (TPU fast path).
 
@@ -478,6 +503,8 @@ def render_mpi_fused(
     configuration) or a ``lax.Precision``.  ``compute_dtype=jnp.bfloat16``
     halves texture DMA + the padded-texture HBM footprint (training-scale
     memory relief; ~2e-3 rel forward err, fp32 accumulation).
+    ``with_disp=False`` drops the expected-disparity output/cotangent work
+    (the train step and the bench use this).
     """
     from gmpi_tpu.ops.pallas_warp import make_fused_renderer
 
@@ -485,9 +512,13 @@ def render_mpi_fused(
     tex_h, tex_w = rgba.shape[-2], rgba.shape[-1]
     fn = make_fused_renderer(plan, adj_plan, tex_h, tex_w, early_out=early_out,
                              interpret=interpret, precision=precision,
-                             compute_dtype=compute_dtype)
-    color, depth, _ = fn(rgba.astype(jnp.float32), dhw.astype(jnp.float32),
-                         ray_dir, eye_pos, z_dir)
+                             compute_dtype=compute_dtype, with_disp=with_disp)
+    outs = fn(rgba.astype(jnp.float32), dhw.astype(jnp.float32),
+              ray_dir, eye_pos, z_dir)
+    if with_disp:
+        color, depth, disp, _ = outs
+        return RenderOutput(color=color, depth=depth, disp=disp)
+    color, depth, _ = outs
     return RenderOutput(color=color, depth=depth)
 
 
@@ -501,6 +532,7 @@ def render_mpi_fused_remat(
     interpret: bool = False,
     precision="bf16x3",
     compute_dtype=None,
+    with_disp: bool = True,
 ) -> RenderOutput:
     """Memory-rematerialized fused render: each plan chunk renders through
     the slab kernel under ``jax.checkpoint`` and the slab partials combine
@@ -523,7 +555,8 @@ def render_mpi_fused_remat(
     for (lo, hi, bands), spl in zip(plan, adj_plan):
         fn = make_fused_slab_renderer(
             tuple(bands), tuple(spl), tex_h, tex_w, interpret=interpret,
-            precision=precision, compute_dtype=compute_dtype)
+            precision=precision, compute_dtype=compute_dtype,
+            with_disp=with_disp)
 
         @functools.partial(jax.checkpoint, static_argnums=())
         def slab(r, d, fn=fn):
@@ -531,6 +564,9 @@ def render_mpi_fused_remat(
 
         part = slab(rgba[:, lo:hi], dhw[lo:hi])
         carry = part if carry is None else combine_segments(carry, part)
+    if with_disp:
+        color, depth, disp, _ = carry
+        return RenderOutput(color=color, depth=depth, disp=disp)
     color, depth, _ = carry
     return RenderOutput(color=color, depth=depth)
 

@@ -76,6 +76,10 @@ WIN_SUB = 384      # static texture-lane window per subtile before rebasing
 _FORCE_TRIM = None  # perf-probe override of warp_splat's trim auto-detect
 _SPLAT_BACKEND = None  # None=auto, "fat", "classic" (perf probes/tests)
 _COMP_BACKEND = None   # None=auto, "fat", "block" (perf probes/tests)
+# perf probe ONLY: skip the dead-plane zeroing of the warped residual in the
+# fused fwd (leaves garbage in dead planes' residual slots — the backward
+# would be WRONG; measures the zeroing cost ceiling)
+_SKIP_ZERO_WARPED = False
 
 
 def _gc_strips(ns_total: int) -> int:
@@ -471,7 +475,7 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
                 bands: FusedBands, early_out: bool, eps: float,
                 precision=lax.Precision.HIGHEST, compute_dtype=None,
                 with_warped: bool = True, lo: int = 0, l_total=None,
-                grad_carry: bool = False):
+                grad_carry: bool = False, with_disp: bool = False):
     """Fused warp+composite, MXU formulation.
 
     Per (plane, 16x64 pixel subtile): slice + diagonally rebase a texture
@@ -484,15 +488,19 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
     (HIGH/bf16x3 raises NotImplementedError at lowering, observed on v5e);
     the bf16 fast mode pairs ``compute_dtype=bf16`` with DEFAULT.
     """
-    # positional layout: [sin, min] (grad_carry) | tex | color, depth, trans,
-    # [s_out, m_out] (grad_carry), [warped] | buf, sems
+    # positional layout: [pin (with_disp)], [sin, min] (grad_carry) | tex |
+    # color, depth, [disp (with_disp)], trans, [s_out, m_out] (grad_carry),
+    # [warped] | buf, sems
     rest = list(rest)
+    pin_ref = rest.pop(0) if with_disp else None
     if grad_carry:
         sin_ref, min_ref = rest.pop(0), rest.pop(0)
     else:
         sin_ref = min_ref = None
-    tex_ref, color_ref, depth_ref, trans_ref = rest[:4]
-    rest = rest[4:]
+    tex_ref, color_ref, depth_ref = rest[:3]
+    rest = rest[3:]
+    disp_ref = rest.pop(0) if with_disp else None
+    trans_ref = rest.pop(0)
     if grad_carry:
         s_ref, m_ref = rest.pop(0), rest.pop(0)
     else:
@@ -520,6 +528,10 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
     rx_full = rx_ref[0, 0]          # [R8, 128] subtile-flat
     ry_full = ry_ref[0, 0]
     q_full = q_ref[0, 0]
+    # expected disparity (``gmpi/core/mpi.py:431``): disp_l = 1/(dsc_l * q)
+    # accumulated with the same weights as depth; computed as
+    # (1/dsc) * (1/q) so the per-pixel reciprocal happens once per strip
+    qinv_full = 1.0 / q_full if with_disp else None
 
     # flat-layout pixel-row index fields (i = 8*(lane//SUBW) + row%8)
     sub_i = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
@@ -557,6 +569,7 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
     # over-compositing continues from the previous (nearer) plane slab
     acc_rgb0 = cin_ref[0, :, 0]
     acc_d0 = din_ref[0, 0]
+    acc_p0 = pin_ref[0, 0] if with_disp else None
     acc_t0 = tin_ref[0, 0]
     if grad_carry:
         # S/M occlusion state carried ACROSS chunks (chunk-local state made
@@ -583,9 +596,13 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
         else:
             dma(0, 0).start()
 
-    def compute_plane(l, slot, acc_rgb, acc_d, acc_t):
+    def compute_plane(l, slot, accs):
         # NOTE: ``alpha`` is also inspected by the grad-safe early-out
         # wrapper below (acc_m update) via the returned accumulators.
+        # ``accs`` = (rgb, depth[, disp], trans) — disp present iff with_disp.
+        acc_rgb, acc_d = accs[0], accs[1]
+        acc_p = accs[2] if with_disp else None
+        acc_t = accs[-1]
         ax = scal_ref[0, l, 0]
         bx = scal_ref[0, l, 1]
         ay = scal_ref[0, l, 2]
@@ -668,15 +685,22 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
         wgt = alpha * acc_t
         acc_rgb = acc_rgb + wgt[None] * samp_full[:3]
         acc_d = acc_d + wgt * (dsc * q_full)
+        out = (acc_rgb, acc_d)
+        if with_disp:
+            out = out + (acc_p + wgt * ((1.0 / dsc) * qinv_full),)
         acc_t = acc_t * (1.0 - alpha + eps)
+        out = out + (acc_t,)
         # composite factor, clamped like composite_bwd's pass1 (guards the
         # bf16x3 alpha = 1+delta interpolation overshoot)
         one_m = jnp.maximum(1.0 - alpha, 0.0) + eps
-        return acc_rgb, acc_d, acc_t, one_m
+        return out, one_m
 
     def zero_warped(l):
-        if warped_ref is not None:
+        if warped_ref is not None and not _SKIP_ZERO_WARPED:
             warped_ref[0, 0, pl.ds(l, 1)] = jnp.zeros((1, 4, r8, LANES), f32)
+
+    accs0 = ((acc_rgb0, acc_d0) + ((acc_p0,) if with_disp else ())
+             + (acc_t0,))
 
     if early_out == "grad":
         # Grad-safe occlusion skipping.  S = T / M (M = min composite factor
@@ -695,7 +719,8 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
         # behind a single opaque one (whose residual feeds the occluder's
         # d_alpha at O(1)).  The clamped product can't hit that zero.
         def plane_body(l, carry):
-            acc_rgb, acc_d, acc_t, acc_s, acc_m = carry
+            accs, acc_s, acc_m = carry
+            acc_t = accs[-1]
             slot = lax.rem(l, 2)
             # the S-check's [R8, 128] reduce + scalar extract costs ~1-2 us
             # per plane and was a large share of the fwd floor (r4): dead
@@ -724,24 +749,25 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
                 dma(l, slot).wait()
 
             def live_fn(_):
-                rgb, d, t, one_m = compute_plane(l, slot, acc_rgb, acc_d, acc_t)
-                return (rgb, d, t, acc_s * one_m,
+                new_accs, one_m = compute_plane(l, slot, accs)
+                return (new_accs, acc_s * one_m,
                         jnp.minimum(acc_m, one_m))
 
             def dead_fn(_):
                 zero_warped(l)
-                return acc_rgb, acc_d, acc_t, acc_s, acc_m
+                return accs, acc_s, acc_m
 
             return lax.cond(live, live_fn, dead_fn, 0)
 
-        acc_rgb, acc_d, acc_t, acc_s, acc_m = lax.fori_loop(
+        accs, acc_s, acc_m = lax.fori_loop(
             0, L, plane_body,
-            (acc_rgb0, acc_d0, acc_t0, acc_s0, acc_m0))
+            (accs0, acc_s0, acc_m0))
         s_ref[0, 0] = acc_s
         m_ref[0, 0] = acc_m
     elif early_out:
         def plane_body(l, carry):
-            acc_rgb, acc_d, acc_t = carry
+            accs = carry
+            acc_t = accs[-1]
             slot = lax.rem(l, 2)
             started = live_s[0] == 1
 
@@ -760,19 +786,17 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
                 dma(l, slot).wait()
 
             def live_fn(_):
-                return compute_plane(l, slot, acc_rgb, acc_d, acc_t)[:3]
+                return compute_plane(l, slot, accs)[0]
 
             def dead_fn(_):
                 zero_warped(l)
-                return acc_rgb, acc_d, acc_t
+                return accs
 
             return lax.cond(live, live_fn, dead_fn, 0)
 
-        acc_rgb, acc_d, acc_t = lax.fori_loop(
-            0, L, plane_body, (acc_rgb0, acc_d0, acc_t0))
+        accs = lax.fori_loop(0, L, plane_body, accs0)
     else:
         def plane_body(l, carry):
-            acc_rgb, acc_d, acc_t = carry
             slot = lax.rem(l, 2)
 
             @pl.when(l + 1 < L)
@@ -781,13 +805,14 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
 
             dma(l, slot).wait()
 
-            return compute_plane(l, slot, acc_rgb, acc_d, acc_t)[:3]
+            return compute_plane(l, slot, carry)[0]
 
-        acc_rgb, acc_d, acc_t = lax.fori_loop(
-            0, L, plane_body, (acc_rgb0, acc_d0, acc_t0))
-    color_ref[0, :, 0] = acc_rgb
-    depth_ref[0, 0] = acc_d
-    trans_ref[0, 0] = acc_t
+        accs = lax.fori_loop(0, L, plane_body, accs0)
+    color_ref[0, :, 0] = accs[0]
+    depth_ref[0, 0] = accs[1]
+    if with_disp:
+        disp_ref[0, 0] = accs[2]
+    trans_ref[0, 0] = accs[-1]
 
 
 def warp_composite_fwd(
@@ -806,6 +831,7 @@ def warp_composite_fwd(
     compute_dtype=None,     # bf16: half texture DMA + hat vregs, fp32 accum
     with_warped: bool = True,   # False: skip the VJP residual (inference)
     lo: int = 0,            # first plane of this chunk within tex_pad
+    with_disp: bool = False,    # expected-disparity partial (mpi.py:431)
 ):
     """Slab partials + warped residual for one plane chunk.
 
@@ -822,7 +848,10 @@ def warp_composite_fwd(
     chunk boundary at 1024^2 that XLA cannot fuse away).
 
     Returns (color_pre [V,3,NS,R8,128], depth_pre [V,NS,R8,128],
-    trans [V,NS,R8,128], warped [V,L,4,NS,R8,128]).
+    trans [V,NS,R8,128], warped [V,L,4,NS,R8,128]).  ``with_disp`` inserts a
+    disparity partial after depth (carry tuples gain the same slot:
+    ``(c, d, p, t[, s, m])``) and the return becomes
+    (color, depth, disp, trans, warped[, s, m]).
     """
     v, l_total = tex_pad.shape[0], tex_pad.shape[1]
     l_planes = scal.shape[1]
@@ -835,19 +864,30 @@ def warp_composite_fwd(
     assert bands.b_x > 0, "bands predate the MXU kernel; re-run planning"
 
     tex_flat = tex_pad.reshape(v * l_total, 4, *tex_pad.shape[3:])
+    n_base = 4 if with_disp else 3  # (c, d[, p], t)
+    pin = None
     if carry is None:
-        cin = jnp.zeros((v, 3, n_strips, r8, LANES), jnp.float32)
-        din = jnp.zeros((v, n_strips, r8, LANES), jnp.float32)
-        tin = jnp.ones((v, n_strips, r8, LANES), jnp.float32)
-    elif early_out == "grad" and len(carry) == 3:
-        cin, din, tin = carry
+        base = None
+    elif early_out == "grad" and len(carry) == n_base:
+        base = carry
         carry = None  # fall through to fresh S/M below
     else:
-        cin, din, tin = carry[:3]
+        base = carry[:n_base]
+    if base is None:
+        cin = jnp.zeros((v, 3, n_strips, r8, LANES), jnp.float32)
+        din = jnp.zeros((v, n_strips, r8, LANES), jnp.float32)
+        if with_disp:
+            pin = jnp.zeros((v, n_strips, r8, LANES), jnp.float32)
+        tin = jnp.ones((v, n_strips, r8, LANES), jnp.float32)
+    else:
+        cin, din = base[0], base[1]
+        if with_disp:
+            pin = base[2]
+        tin = base[-1]
     grad_carry = early_out == "grad"
     if grad_carry:
-        if carry is not None and len(carry) == 5:
-            sin, min_ = carry[3], carry[4]
+        if carry is not None and len(carry) == n_base + 2:
+            sin, min_ = carry[n_base], carry[n_base + 1]
         else:
             sin = jnp.ones((v, n_strips, r8, LANES), jnp.float32)
             min_ = jnp.ones((v, n_strips, r8, LANES), jnp.float32)
@@ -856,7 +896,7 @@ def warp_composite_fwd(
         _fwd_kernel, L=l_planes, tex_h=tex_h, tex_w=tex_w, pad_bot=pad_bot,
         bands=bands, early_out=early_out, eps=eps, precision=precision,
         compute_dtype=compute_dtype, with_warped=with_warped,
-        lo=lo, l_total=l_total, grad_carry=grad_carry)
+        lo=lo, l_total=l_total, grad_carry=grad_carry, with_disp=with_disp)
 
     grid = (v, n_strips)
     px = lambda vi, si: (vi, si, 0, 0)
@@ -866,9 +906,13 @@ def warp_composite_fwd(
     out_shape = [
         jax.ShapeDtypeStruct((v, 3, n_strips, r8, LANES), jnp.float32),
         pxshape,
-        pxshape,
     ]
-    out_specs = [cspec, pxspec, pxspec]
+    out_specs = [cspec, pxspec]
+    if with_disp:
+        out_shape.append(pxshape)
+        out_specs.append(pxspec)
+    out_shape.append(pxshape)  # trans
+    out_specs.append(pxspec)
     if grad_carry:
         out_shape += [pxshape, pxshape]
         out_specs += [pxspec, pxspec]
@@ -885,6 +929,9 @@ def warp_composite_fwd(
         cspec, pxspec, pxspec,
     ]
     inputs = [scal, rx, ry, q, cin, din, tin]
+    if with_disp:
+        in_specs.append(pxspec)
+        inputs.append(pin)
     if grad_carry:
         in_specs += [pxspec, pxspec]
         inputs += [sin, min_]
@@ -912,12 +959,12 @@ def warp_composite_fwd(
         ),
     )(*inputs)
     outs = list(outs)
-    color, depth, trans = outs[:3]
-    sm = tuple(outs[3:5]) if grad_carry else ()
+    base_out = tuple(outs[:n_base])  # (c, d[, p], t)
+    sm = tuple(outs[n_base:n_base + 2]) if grad_carry else ()
     warped = outs[-1] if with_warped else None
     if grad_carry:
-        return color, depth, trans, warped, sm[0], sm[1]
-    return color, depth, trans, warped
+        return base_out + (warped, sm[0], sm[1])
+    return base_out + (warped,)
 
 
 # ---------------------------------------------------------------------------
@@ -1945,7 +1992,8 @@ def warp_adjoint(
     return out
 
 
-def composite_bwd(warped, delta, g_color, g_depth, g_trans, eps: float = EPS):
+def composite_bwd(warped, delta, g_color, g_depth, g_trans, eps: float = EPS,
+                  g_disp=None, delta_disp=None):
     """Cotangents on the warped per-plane RGBA from cotangents on the
     composited outputs (pure XLA; the non-warp half of the fused VJP).
 
@@ -1955,13 +2003,16 @@ def composite_bwd(warped, delta, g_color, g_depth, g_trans, eps: float = EPS):
       d rgb_l   = w_l * g_color
       d alpha_l = T_l * e_l - (u_l + g_trans * T_total) / (1 - a_l + eps)
 
-    where ``e_l = g_color . rgb_l + g_depth * delta_l`` and
-    ``u_l = sum_{m>l} w_m e_m`` (suffix sum).
+    where ``e_l = g_color . rgb_l + g_depth * delta_l [+ g_disp *
+    delta_disp_l]`` and ``u_l = sum_{m>l} w_m e_m`` (suffix sum) — the
+    expected-disparity output (``mpi.py:431``) is the same weighted sum
+    with per-plane field ``delta_disp_l = 1/(dscale_l * q)``.
 
     Args:
         warped:  [V, L, 4, H, W] warped per-plane RGBA (fwd residual)
         delta:   [V, L, H, W] per-plane pixel depth ``dscale_l * q``
-        g_color: [V, 3, H, W]; g_depth / g_trans: [V, H, W] (or None)
+        g_color: [V, 3, H, W]; g_depth / g_trans / g_disp: [V, H, W] (or None)
+        delta_disp: [V, L, H, W] per-plane disparity (required with g_disp)
     Returns d_warped [V, L, 4, H, W].
     """
     rgb = warped[:, :, :3]
@@ -1983,6 +2034,8 @@ def composite_bwd(warped, delta, g_color, g_depth, g_trans, eps: float = EPS):
     e = jnp.einsum("vchw,vlchw->vlhw", g_color, rgb)
     if g_depth is not None:
         e = e + g_depth[:, None] * delta
+    if g_disp is not None:
+        e = e + g_disp[:, None] * delta_disp
     we = w * e
     # u_l = suffix-exclusive cumsum of we along planes.  Computed by
     # shifting BEFORE the cumsum: the inclusive-cumsum-minus-self trick
@@ -2003,8 +2056,8 @@ def composite_bwd(warped, delta, g_color, g_depth, g_trans, eps: float = EPS):
 
 
 def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
-                          out_ref, *rest, L, eps, has_gd, has_gt,
-                          grad_tau=None, with_live=False):
+                          gp_ref, out_ref, *rest, L, eps, has_gd, has_gt,
+                          has_gp=False, grad_tau=None, with_live=False):
     rest = list(rest)
     live_ref = rest.pop(0) if with_live else None
     t_ref = rest.pop(0)
@@ -2021,6 +2074,7 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
     f32 = jnp.float32
     rows = warped_ref.shape[5]
     q = q_ref[0, 0, 0]                                # [rows, 128]
+    qinv = (1.0 / q) if has_gp else None              # disparity field
     gc0 = gc_ref[0, 0, 0, 0]
     gc1 = gc_ref[0, 1, 0, 0]
     gc2 = gc_ref[0, 2, 0, 0]
@@ -2061,6 +2115,8 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
         e = gc0 * r0 + gc1 * r1 + gc2 * r2
         if has_gd:
             e = e + gd_ref[0, 0, 0] * (scal_ref[0, l, 4] * q)
+        if has_gp:
+            e = e + gp_ref[0, 0, 0] * ((1.0 / scal_ref[0, l, 4]) * qinv)
         one_m = jnp.maximum(1.0 - a, 0.0) + eps  # see pass1 note
         w = a * t_excl
         d_alpha = t_excl * e - u / one_m
@@ -2101,11 +2157,11 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
             live_ref[0] = jnp.maximum(live_ref[0], flags)
 
 
-def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref,
+def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref, gp_ref,
                               warped_any, out_any, live_ref,
                               wstack, dstack, t_ref, m_ref, isem, osem, *,
-                              L, eps, has_gd, has_gt, grad_tau, with_live,
-                              n_chunks, chunk_l4):
+                              L, eps, has_gd, has_gt, has_gp, grad_tau,
+                              with_live, n_chunks, chunk_l4):
     """Fat composite backward: one STRIP per grid step (r4, strip-major).
 
     The block-partitioned version's [.., L, 4, .., br, 128] blocks are
@@ -2145,6 +2201,7 @@ def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref,
             osem.at[0])
 
     q = q_ref[0, 0]
+    qinv = (1.0 / q) if has_gp else None
     gc0 = gc_ref[0, 0, 0]
     gc1 = gc_ref[0, 1, 0]
     gc2 = gc_ref[0, 2, 0]
@@ -2195,6 +2252,8 @@ def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref,
         e = gc0 * r0 + gc1 * r1 + gc2 * r2
         if has_gd:
             e = e + gd_ref[0, 0] * (scal_ref[0, l, 4] * q)
+        if has_gp:
+            e = e + gp_ref[0, 0] * ((1.0 / scal_ref[0, l, 4]) * qinv)
         one_m = jnp.maximum(1.0 - a, 0.0) + eps
         w = a * t_excl
         d_alpha = t_excl * e - u / one_m
@@ -2237,7 +2296,7 @@ def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref,
 
 
 def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
-                       grad_tau, with_live):
+                       grad_tau, with_live, gp=None):
     """Per-strip fat composite backward (see :func:`_composite_bwd_fat_kernel`)."""
     v, ns, l_planes = warped_f.shape[0], warped_f.shape[1], warped_f.shape[2]
     r8 = warped_f.shape[4]
@@ -2250,10 +2309,11 @@ def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
     zero = jnp.zeros((v, ns, r8, LANES), jnp.float32)
     gdr = zero if gd is None else gd
     gtr = zero if gt is None else gt
+    gpr = zero if gp is None else gp
 
     kernel = functools.partial(
         _composite_bwd_fat_kernel, L=l_planes, eps=eps,
-        has_gd=gd is not None, has_gt=gt is not None,
+        has_gd=gd is not None, has_gt=gt is not None, has_gp=gp is not None,
         grad_tau=grad_tau, with_live=with_live,
         n_chunks=n_chunks, chunk_l4=chunk_l4)
     field = pl.BlockSpec((1, 1, r8, LANES), lambda vi, si: (vi, si, 0, 0))
@@ -2268,6 +2328,7 @@ def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
                 field,
                 pl.BlockSpec((1, 3, 1, r8, LANES),
                              lambda vi, si: (vi, 0, si, 0, 0)),
+                field,
                 field,
                 field,
                 pl.BlockSpec(memory_space=pl.ANY),   # warped (flat)
@@ -2294,7 +2355,7 @@ def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(scal, qf, gc, gdr, gtr, w_flat)
+    )(scal, qf, gc, gdr, gtr, gpr, w_flat)
     d_samp, live = outs
     d_samp = d_samp.reshape(v, ns, l_planes, 4, r8, LANES)
     if with_live:
@@ -2305,7 +2366,7 @@ def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
 def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
                          eps: float = EPS, interpret: bool = False,
                          block_rows: int = None, grad_tau=None,
-                         with_live: bool = False):
+                         with_live: bool = False, gp=None):
     """Pallas composite backward over subtile-flat stacks.
 
     warped_f [V, NS, L, 4, R8, 128] (strip-major — the forward's residual
@@ -2333,7 +2394,7 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
         if (_COMP_BACKEND == "fat" or fat_bytes + (8 << 20) < 88 << 20):
             return _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps,
                                       interpret, grad_tau,
-                                      with_live and with_live_ok)
+                                      with_live and with_live_ok, gp=gp)
     if block_rows is None:
         # largest pixel block whose double-buffered in+out stacks + t/m
         # scratch fit the VMEM budget: the [.., L, 4, 1, br, 128] blocks are
@@ -2358,9 +2419,11 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
     zero = jnp.zeros((v, ns, split, block_rows, LANES), jnp.float32)
     gdr = zero if gd is None else gd.reshape(v, ns, split, block_rows, LANES)
     gtr = zero if gt is None else gt.reshape(v, ns, split, block_rows, LANES)
+    gpr = zero if gp is None else gp.reshape(v, ns, split, block_rows, LANES)
 
     kernel = functools.partial(_composite_bwd_kernel, L=l_planes, eps=eps,
                                has_gd=gd is not None, has_gt=gt is not None,
+                               has_gp=gp is not None,
                                grad_tau=grad_tau, with_live=with_live)
     scratch = [pltpu.VMEM((l_planes, block_rows, LANES), jnp.float32)]
     if grad_tau is not None:
@@ -2390,6 +2453,7 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
                              lambda vi, si, ri: (vi, 0, si, ri, 0, 0)),
                 field,
                 field,
+                field,
             ],
             out_specs=tuple(out_specs) if with_live else out_specs[0],
             scratch_shapes=scratch,
@@ -2400,7 +2464,7 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(scal, wr, qr, gcr, gdr, gtr)
+    )(scal, wr, qr, gcr, gdr, gtr, gpr)
     if with_live:
         d_samp, live = outs
         return (d_samp.reshape(v, ns, l_planes, 4, r8, LANES),
@@ -2421,11 +2485,13 @@ def render_mpi_fused_fwd(
     precision=lax.Precision.HIGHEST,
     compute_dtype=None,
     with_warped: bool = True,
+    with_disp: bool = False,
 ):
     """Full fused MPI render forward: chained slab kernels front-to-back.
 
-    Returns (color [V,3,H,W], depth [V,1,H,W], trans [V,1,H,W],
-    warped [V,L,4,H,W]) — warped is the residual stack for the backward.
+    Returns (color [V,3,H,W], depth [V,1,H,W], [disp [V,1,H,W] when
+    ``with_disp``,] trans [V,1,H,W], warped [V,L,4,H,W]) — warped is the
+    residual stack for the backward.
     """
     v, l_planes = rgba.shape[0], rgba.shape[1]
     tex_h, tex_w = rgba.shape[3], rgba.shape[4]
@@ -2436,6 +2502,7 @@ def render_mpi_fused_fwd(
     pad_bot = max(PADY_BOT, max(b[2] if not isinstance(b, FusedBands) else b.by_pad
                                 for _, _, b in plan))
     tex_pad = pad_textures(rgba.astype(compute_dtype or jnp.float32), pad_bot)
+    n_base = 4 if with_disp else 3
     carry = None
     warped_parts = []
     for lo, hi, bands in plan:
@@ -2443,24 +2510,23 @@ def render_mpi_fused_fwd(
             tex_pad, rx, ry, q, scal[:, lo:hi], bands,
             early_out=early_out, eps=eps, interpret=interpret, carry=carry,
             pad_bot=pad_bot, precision=precision, compute_dtype=compute_dtype,
-            with_warped=with_warped, lo=lo)
+            with_warped=with_warped, lo=lo, with_disp=with_disp)
+        base = outs[:n_base]
+        w = outs[n_base]
         if early_out == "grad":
             # thread the S/M occlusion state so later chunks keep skipping
-            c, d, t, w, s, m = outs
-            carry = (c, d, t, s, m)
+            carry = base + outs[n_base + 1:n_base + 3]
         else:
-            c, d, t, w = outs
-            carry = (c, d, t)
+            carry = base
         warped_parts.append(w)
-    color, depth, trans = carry[:3]
     # warped stays in the strip-major subtile-flat layout [V, NS, L, 4,
     # R8, 128] (the VJP consumes it there); the chunk concat on the plane
     # axis copies contiguous L_chunk x 262 KB runs per (view, strip)
     warped = jnp.concatenate(warped_parts, axis=2) if with_warped else None
-    color = unflatten_pixels(color, h, w_img)
-    depth = unflatten_pixels(depth, h, w_img)
-    trans = unflatten_pixels(trans, h, w_img)
-    return color, depth[:, None], trans[:, None], warped
+    base = tuple(unflatten_pixels(x, h, w_img) for x in carry[:n_base])
+    color = base[0]
+    rest = tuple(x[:, None] for x in base[1:])  # depth[, disp], trans
+    return (color,) + rest + (warped,)
 
 
 @functools.lru_cache(maxsize=64)
@@ -2468,7 +2534,8 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
                              early_out: bool = False, eps: float = EPS,
                              interpret: bool = False,
                              precision=lax.Precision.HIGHEST,
-                             compute_dtype=None):
+                             compute_dtype=None,
+                             with_disp: bool = False):
     """Fused Pallas *slab* renderer with an exact custom VJP.
 
     ``fn(rgba_slab, dhw_slab, ray_dir, eye_pos, z_dir) ->
@@ -2476,10 +2543,13 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
     segment partials of ``core.renderer.render_slab_partial``, so sharded
     renderers can run the production kernel per plane shard and combine
     across chips (``combine_segments``).  Bands must cover every shard's
-    planes (SPMD: statics are shared across shards).
+    planes (SPMD: statics are shared across shards).  ``with_disp`` inserts
+    the expected-disparity partial after depth (4-tuple partials — the
+    generic ``combine_segments`` handles either arity).
     """
     bands = FusedBands(*bands)
     splat_plan = SplatPlan(*splat_plan)
+    n_base = 4 if with_disp else 3
 
     def _fwd(rgba, dhw, ray_dir, eye_pos, z_dir, with_warped, early):
         v = rgba.shape[0]
@@ -2493,14 +2563,15 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
         pad_bot = max(PADY_BOT, bands.by_pad)
         tex_pad = pad_textures(
             rgba.astype(compute_dtype or jnp.float32), pad_bot)
-        c, d, t, warped = warp_composite_fwd(
+        outs = warp_composite_fwd(
             tex_pad, rxf, ryf, qf, scal, bands, early_out=early, eps=eps,
             interpret=interpret, pad_bot=pad_bot, with_warped=with_warped,
-            precision=precision, compute_dtype=compute_dtype)
-        c = unflatten_pixels(c, h, w_img)
-        d = unflatten_pixels(d, h, w_img)
-        t = unflatten_pixels(t, h, w_img)
-        return (c, d[:, None], t[:, None]), warped
+            precision=precision, compute_dtype=compute_dtype,
+            with_disp=with_disp)
+        warped = outs[n_base]
+        base = tuple(unflatten_pixels(x, h, w_img) for x in outs[:n_base])
+        out = (base[0],) + tuple(x[:, None] for x in base[1:])
+        return out, warped
 
     @jax.custom_vjp
     def fn(rgba, dhw, ray_dir, eye_pos, z_dir):
@@ -2515,7 +2586,11 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
 
     def fn_bwd(res, cot):
         warped, dhw, ray_dir, eye_pos, z_dir = res
-        g_color, g_depth, g_trans = cot
+        if with_disp:
+            g_color, g_depth, g_disp, g_trans = cot
+        else:
+            g_color, g_depth, g_trans = cot
+            g_disp = None
         v, l_pl = warped.shape[0], warped.shape[2]
         h, w_img = ray_dir.shape[2], ray_dir.shape[3]
         scal = jax.vmap(lambda e: plane_affine(dhw, e, tex_h, tex_w))(eye_pos)
@@ -2525,8 +2600,9 @@ def make_fused_slab_renderer(bands, splat_plan, tex_h: int, tex_w: int,
         gc6 = flatten_pixels(g_color)
         gd6 = None if g_depth is None else flatten_pixels(g_depth[:, 0])
         gt6 = None if g_trans is None else flatten_pixels(g_trans[:, 0])
+        gp6 = None if g_disp is None else flatten_pixels(g_disp[:, 0])
         d_samp6 = composite_bwd_pallas(warped, scal, qf6, gc6, gd6, gt6,
-                                       eps, interpret=interpret)
+                                       eps, interpret=interpret, gp=gp6)
         rxf, ryf = flatten_pixels(rx), flatten_pixels(ry)
         d_rgba = warp_splat(d_samp6, rxf, ryf, ry, scal, bands, splat_plan,
                             tex_h, tex_w, interpret=interpret,
@@ -2545,7 +2621,8 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
                         precision=lax.Precision.HIGHEST,
                         compute_dtype=None,
                         composite_backend: str = "pallas",
-                        grad_sparsity: bool = True):
+                        grad_sparsity: bool = True,
+                        with_disp: bool = False):
     """Build the fused MPI renderer with its exact custom VJP.
 
     ``plan`` is a tuple of ``(lo, hi, FusedBands)`` (see
@@ -2559,7 +2636,9 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
     ``gmpi/core/mpi.py:65,148``); pose/geometry inputs get zero cotangents.
 
     Returns ``fn(rgba, dhw, ray_dir, eye_pos, z_dir) ->
-    (color [V,3,H,W], depth [V,1,H,W], trans [V,1,H,W])``.
+    (color [V,3,H,W], depth [V,1,H,W], trans [V,1,H,W])``; ``with_disp``
+    inserts expected disparity (``mpi.py:431``) after depth in the outputs
+    and handles its cotangent exactly in the VJP.
     """
     plan = tuple((int(lo), int(hi), FusedBands(*b)) for lo, hi, b in plan)
     # 2-field entries are SplatPlan (MXU splat backward); 3-field entries the
@@ -2567,6 +2646,7 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
     use_splat = adj_plan and len(tuple(adj_plan[0])) == 2
     adj_plan = tuple((SplatPlan(*b) if use_splat else AdjointBands(*b))
                      for b in adj_plan)
+    n_base = 4 if with_disp else 3
 
     @jax.custom_vjp
     def fn(rgba, dhw, ray_dir, eye_pos, z_dir):
@@ -2576,12 +2656,12 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
         # than the one that also streams the big residual block.  The
         # discarded residual costs ~1.6 GB of HBM writes (~2 ms at peak)
         # and is dead right after the call.
-        color, depth, trans, _ = render_mpi_fused_fwd(
+        outs = render_mpi_fused_fwd(
             rgba, dhw, ray_dir, eye_pos, z_dir, plan,
             early_out=early_out, eps=eps, interpret=interpret,
             precision=precision, compute_dtype=compute_dtype,
-            with_warped=True)
-        return color, depth, trans
+            with_warped=True, with_disp=with_disp)
+        return outs[:n_base]
 
     def fn_fwd(rgba, dhw, ray_dir, eye_pos, z_dir):
         # The plain T-threshold early-out is WRONG on the grad path: a
@@ -2591,16 +2671,22 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
         # (transmittance with the single most opaque factor removed) bounds
         # exactly that amplification, so its skips are safe to O(GRAD_TAU);
         # grad_sparsity=False falls back to processing every plane.
-        color, depth, trans, warped = render_mpi_fused_fwd(
+        outs = render_mpi_fused_fwd(
             rgba, dhw, ray_dir, eye_pos, z_dir, plan,
             early_out="grad" if grad_sparsity else False,
             eps=eps, interpret=interpret,
-            precision=precision, compute_dtype=compute_dtype)
-        return (color, depth, trans), (warped, dhw, ray_dir, eye_pos, z_dir)
+            precision=precision, compute_dtype=compute_dtype,
+            with_disp=with_disp)
+        warped = outs[n_base]
+        return outs[:n_base], (warped, dhw, ray_dir, eye_pos, z_dir)
 
     def fn_bwd(res, cot):
         warped, dhw, ray_dir, eye_pos, z_dir = res
-        g_color, g_depth, g_trans = cot
+        if with_disp:
+            g_color, g_depth, g_disp, g_trans = cot
+        else:
+            g_color, g_depth, g_trans = cot
+            g_disp = None
         # warped is strip-major [V, NS, L, 4, R8, 128]
         v, l_all = warped.shape[0], warped.shape[2]
         h, w_img = ray_dir.shape[2], ray_dir.shape[3]
@@ -2613,12 +2699,13 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
         gc6 = flatten_pixels(g_color)
         gd6 = None if g_depth is None else flatten_pixels(g_depth[:, 0])
         gt6 = None if g_trans is None else flatten_pixels(g_trans[:, 0])
+        gp6 = None if g_disp is None else flatten_pixels(g_disp[:, 0])
         live_flags = None
         if composite_backend == "pallas":
             d_samp6 = composite_bwd_pallas(
                 warped, scal, qf6, gc6, gd6, gt6, eps, interpret=interpret,
                 grad_tau=GRAD_TAU if grad_sparsity else None,
-                with_live=grad_sparsity)
+                with_live=grad_sparsity, gp=gp6)
             if grad_sparsity and isinstance(d_samp6, tuple):
                 d_samp6, live_flags = d_samp6
         else:
@@ -2630,7 +2717,12 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
             gcx = gc6.reshape(v, 3, -1, LANES)
             gdx = None if gd6 is None else gd6.reshape(v, -1, LANES)
             gtx = None if gt6 is None else gt6.reshape(v, -1, LANES)
-            d_pm = composite_bwd(warped_f, delta, gcx, gdx, gtx, eps)
+            gpx = None if gp6 is None else gp6.reshape(v, -1, LANES)
+            ddisp = None
+            if gpx is not None:
+                ddisp = (1.0 / scal[:, :, 4])[:, :, None, None] / qf[:, None]
+            d_pm = composite_bwd(warped_f, delta, gcx, gdx, gtx, eps,
+                                 g_disp=gpx, delta_disp=ddisp)
             d_samp6 = jnp.transpose(
                 d_pm.reshape(v, l_all, 4, h // STRIP, -1, LANES),
                 (0, 3, 1, 2, 4, 5))

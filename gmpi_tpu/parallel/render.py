@@ -80,6 +80,7 @@ def render_mpi_tile_sharded(
     align_corners: bool = True,
     tiled_bands=None,
     render_fn=None,
+    with_disp: bool = False,
 ) -> RenderOutput:
     """Render with output pixel rows sharded over ``axis``.
 
@@ -88,17 +89,20 @@ def render_mpi_tile_sharded(
     the tile-banded MXU warp per shard; ``render_fn(rgba, dhw, rays, eye, z)
     -> RenderOutput`` plugs in any single-chip renderer (e.g. the fused
     Pallas kernel from ``core.renderer.render_mpi_fused``) — SPMD, so its
-    static config is shared by every shard.
+    static config is shared by every shard.  ``with_disp`` additionally
+    returns expected disparity (``render_fn`` must populate ``.disp``).
     """
     n_shards = mesh.shape[axis]
     h = ray_dir.shape[2]
     assert h % n_shards == 0, (h, n_shards)
+    row_spec = P(None, None, axis, None)
+    n_out = 3 if with_disp else 2
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(None, None, axis, None), P(), P()),
-        out_specs=(P(None, None, axis, None), P(None, None, axis, None)),
+        in_specs=(P(), P(), row_spec, P(), P()),
+        out_specs=(row_spec,) * n_out,
         check_vma=False,
     )
     def _render(rgba_, dhw_, ray_dir_, eye_, zdir_):
@@ -107,10 +111,14 @@ def render_mpi_tile_sharded(
         else:
             out = render_mpi(rgba_, dhw_, ray_dir_, eye_, zdir_, align_corners,
                              tiled_bands=tiled_bands)
+        if with_disp:
+            assert out.disp is not None, "render_fn must populate disp"
+            return out.color, out.depth, out.disp
         return out.color, out.depth
 
-    color, depth = _render(rgba, dhw, ray_dir, eye_pos, z_dir)
-    return RenderOutput(color=color, depth=depth)
+    outs = _render(rgba, dhw, ray_dir, eye_pos, z_dir)
+    return RenderOutput(color=outs[0], depth=outs[1],
+                        disp=outs[2] if with_disp else None)
 
 
 def render_mpi_plane_sharded(
@@ -124,40 +132,45 @@ def render_mpi_plane_sharded(
     align_corners: bool = True,
     tiled_bands=None,
     slab_fn=None,
+    with_disp: bool = False,
 ) -> RenderOutput:
     """Render with the plane axis sharded over ``axis``; output replicated.
 
     Chip *i* holds planes ``[i*L/n, (i+1)*L/n)`` (front-to-back order),
     composites them locally, and the cross-chip ordered combine runs on the
     gathered slab partials.  ``slab_fn(rgba_slab, dhw_slab [L,3], rays, eye,
-    z) -> (color_pre, depth_pre, trans)`` plugs in the production slab
-    renderer (``pallas_warp.make_fused_slab_renderer``); ``tiled_bands``
-    selects the banded MXU warp in the default path.
+    z) -> (color_pre, depth_pre[, disp_pre], trans)`` plugs in the
+    production slab renderer (``pallas_warp.make_fused_slab_renderer``, with
+    a matching ``with_disp``); ``tiled_bands`` selects the banded MXU warp
+    in the default path.  ``with_disp`` adds the expected-disparity partial
+    through the same ordered combine.
     """
     n_shards = mesh.shape[axis]
     v, l_planes = rgba.shape[0], rgba.shape[1]
     h, w = ray_dir.shape[2], ray_dir.shape[3]
     assert l_planes % n_shards == 0, (l_planes, n_shards)
+    n_out = 3 if with_disp else 2
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(None, axis), P(axis), P(), P(), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(),) * n_out,
         check_vma=False,
     )
     def _render(rgba_slab, dhw_slab, ray_dir_, eye_, zdir_):
         if slab_fn is not None:
             part = slab_fn(rgba_slab, dhw_slab, ray_dir_, eye_, zdir_)
+            assert len(part) == n_out + 1, (len(part), with_disp)
         else:
             slab_dhw = jnp.broadcast_to(dhw_slab[None], (v, dhw_slab.shape[0], 3))
             part = render_slab_partial(rgba_slab, slab_dhw, ray_dir_, eye_, zdir_,
-                                       align_corners, tiled_bands=tiled_bands)
+                                       align_corners, tiled_bands=tiled_bands,
+                                       with_disp=with_disp)
         # Ordered cross-chip combine (plane order == mesh axis order):
         # log-depth butterfly when the axis is a power of two, else gather+fold
         if n_shards & (n_shards - 1) == 0:
-            color, depth, _ = ordered_allcombine(part, axis)
-            return color, depth
+            return ordered_allcombine(part, axis)[:-1]
         gathered = jax.tree_util.tree_map(
             lambda t: lax.all_gather(t, axis, axis=0), part
         )
@@ -165,16 +178,14 @@ def render_mpi_plane_sharded(
         def body(carry, slab):
             return combine_segments(carry, slab), None
 
-        init = (
-            jnp.zeros((v, 3, h, w), jnp.float32),
-            jnp.zeros((v, 1, h, w), jnp.float32),
-            jnp.ones((v, 1, h, w), jnp.float32),
-        )
-        (color, depth, _), _ = lax.scan(body, init, gathered)
-        return color, depth
+        init = tuple(jnp.zeros_like(x) for x in part[:-1]) + (
+            jnp.ones_like(part[-1]),)
+        carry, _ = lax.scan(body, init, gathered)
+        return carry[:-1]
 
-    color, depth = _render(rgba, dhw, ray_dir, eye_pos, z_dir)
-    return RenderOutput(color=color, depth=depth)
+    outs = _render(rgba, dhw, ray_dir, eye_pos, z_dir)
+    return RenderOutput(color=outs[0], depth=outs[1],
+                        disp=outs[2] if with_disp else None)
 
 
 def render_mpi_plane_sharded_pipelined(
@@ -189,6 +200,7 @@ def render_mpi_plane_sharded_pipelined(
     align_corners: bool = True,
     tiled_bands=None,
     slab_fn=None,
+    with_disp: bool = False,
 ) -> RenderOutput:
     """Plane-sharded render with the cross-chip combine *pipelined* against
     the warp (``docs/SCALING.md``; VERDICT r2 #6).
@@ -220,11 +232,13 @@ def render_mpi_plane_sharded_pipelined(
     rgba_r = rgba.reshape(v, n_sub, n_shards, c, *rgba.shape[2:]).swapaxes(1, 2)
     dhw_r = dhw.reshape(n_sub, n_shards, c, 3).swapaxes(0, 1)
 
+    n_out = 3 if with_disp else 2
+
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(None, axis), P(axis), P(), P(), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(),) * n_out,
         check_vma=False,
     )
     def _render(rgba_loc, dhw_loc, ray_dir_, eye_, zdir_):
@@ -237,14 +251,12 @@ def render_mpi_plane_sharded_pipelined(
                 return slab_fn(rgba_k, dhw_k, ray_dir_, eye_, zdir_)
             slab_dhw = jnp.broadcast_to(dhw_k[None], (v, c, 3))
             return render_slab_partial(rgba_k, slab_dhw, ray_dir_, eye_, zdir_,
-                                       align_corners, tiled_bands=tiled_bands)
+                                       align_corners, tiled_bands=tiled_bands,
+                                       with_disp=with_disp)
 
-        init_acc = (
-            jnp.zeros((v, 3, h, w), jnp.float32),
-            jnp.zeros((v, 1, h, w), jnp.float32),
-            jnp.ones((v, 1, h, w), jnp.float32),
-        )
         pending0 = sub_partial(rgba_s[0], dhw_s[0])  # prologue: warp slab 0
+        init_acc = tuple(jnp.zeros_like(x) for x in pending0[:-1]) + (
+            jnp.ones_like(pending0[-1]),)
 
         def body(carry, xs):
             acc, pending = carry
@@ -257,11 +269,11 @@ def render_mpi_plane_sharded_pipelined(
 
         (acc, pending), _ = lax.scan(body, (init_acc, pending0),
                                      (rgba_s[1:], dhw_s[1:]))
-        color, depth, _ = combine_segments(acc, ordered_allcombine(pending, axis))
-        return color, depth
+        return combine_segments(acc, ordered_allcombine(pending, axis))[:-1]
 
-    color, depth = _render(rgba_r, dhw_r, ray_dir, eye_pos, z_dir)
-    return RenderOutput(color=color, depth=depth)
+    outs = _render(rgba_r, dhw_r, ray_dir, eye_pos, z_dir)
+    return RenderOutput(color=outs[0], depth=outs[1],
+                        disp=outs[2] if with_disp else None)
 
 
 def render_mpi_plane_tile_sharded(
@@ -276,6 +288,7 @@ def render_mpi_plane_tile_sharded(
     align_corners: bool = True,
     tiled_bands=None,
     slab_fn=None,
+    with_disp: bool = False,
 ) -> RenderOutput:
     """2-D sharding: planes over ``plane_axis`` x pixel rows over ``tile_axis``.
 
@@ -287,25 +300,27 @@ def render_mpi_plane_tile_sharded(
     v, l_planes = rgba.shape[0], rgba.shape[1]
     h, w = ray_dir.shape[2], ray_dir.shape[3]
     assert l_planes % n_plane == 0 and h % n_tile == 0
+    row_spec = P(None, None, tile_axis, None)
+    n_out = 3 if with_disp else 2
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(None, plane_axis), P(plane_axis), P(None, None, tile_axis, None), P(), P()),
-        out_specs=(P(None, None, tile_axis, None), P(None, None, tile_axis, None)),
+        in_specs=(P(None, plane_axis), P(plane_axis), row_spec, P(), P()),
+        out_specs=(row_spec,) * n_out,
         check_vma=False,
     )
     def _render(rgba_slab, dhw_slab, ray_dir_, eye_, zdir_):
-        rows = ray_dir_.shape[2]
         if slab_fn is not None:
             part = slab_fn(rgba_slab, dhw_slab, ray_dir_, eye_, zdir_)
+            assert len(part) == n_out + 1, (len(part), with_disp)
         else:
             slab_dhw = jnp.broadcast_to(dhw_slab[None], (v, dhw_slab.shape[0], 3))
             part = render_slab_partial(rgba_slab, slab_dhw, ray_dir_, eye_, zdir_,
-                                       align_corners, tiled_bands=tiled_bands)
+                                       align_corners, tiled_bands=tiled_bands,
+                                       with_disp=with_disp)
         if n_plane & (n_plane - 1) == 0:
-            color, depth, _ = ordered_allcombine(part, plane_axis)
-            return color, depth
+            return ordered_allcombine(part, plane_axis)[:-1]
         gathered = jax.tree_util.tree_map(
             lambda t: lax.all_gather(t, plane_axis, axis=0), part
         )
@@ -313,13 +328,11 @@ def render_mpi_plane_tile_sharded(
         def body(carry, slab):
             return combine_segments(carry, slab), None
 
-        init = (
-            jnp.zeros((v, 3, rows, w), jnp.float32),
-            jnp.zeros((v, 1, rows, w), jnp.float32),
-            jnp.ones((v, 1, rows, w), jnp.float32),
-        )
-        (color, depth, _), _ = lax.scan(body, init, gathered)
-        return color, depth
+        init = tuple(jnp.zeros_like(x) for x in part[:-1]) + (
+            jnp.ones_like(part[-1]),)
+        carry, _ = lax.scan(body, init, gathered)
+        return carry[:-1]
 
-    color, depth = _render(rgba, dhw, ray_dir, eye_pos, z_dir)
-    return RenderOutput(color=color, depth=depth)
+    outs = _render(rgba, dhw, ray_dir, eye_pos, z_dir)
+    return RenderOutput(color=outs[0], depth=outs[1],
+                        disp=outs[2] if with_disp else None)

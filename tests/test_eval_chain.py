@@ -63,7 +63,6 @@ class StubDataset:
                 np.zeros(16, np.float32), 0, 0.0, 0.0)
 
 
-@pytest.mark.slow
 def test_eval_all_chain_with_stub_adapters(tmp_path, monkeypatch):
     cfg = tiny_config()
     state = init_train_state(cfg, jax.random.key(0))
@@ -108,3 +107,21 @@ def test_eval_all_chain_with_stub_adapters(tmp_path, monkeypatch):
     assert os.path.isdir(os.path.join(out, "real"))
     assert os.path.isdir(os.path.join(out, "fake", "rgb"))
     assert os.path.isdir(os.path.join(out, "geometry", "depth"))
+
+    # determinism: the whole chain re-run under the same seeds reproduces
+    # the FID/KID (and consistency/geometry) numbers EXACTLY — per-image
+    # seeds are the reference's reproducibility contract
+    # (``gmpi/eval/prepare_fake_data.py:204``), so any nondeterminism in
+    # generation, rendering, or the metric math shows up here
+    out2 = str(tmp_path / "eval2")
+    args2 = types.SimpleNamespace(**{**vars(args), "out": out2})
+    eval_gmpi.run_all(args2)
+    results2 = json.load(open(os.path.join(out2, "eval_all.json")))
+    assert (results2["fid_kid"]["frechet_inception_distance"]
+            == results["fid_kid"]["frechet_inception_distance"])
+    assert (results2["fid_kid"]["kernel_inception_distance_mean"]
+            == results["fid_kid"]["kernel_inception_distance_mean"])
+    assert (results2["consistency"]["consistency_mean"]
+            == results["consistency"]["consistency_mean"])
+    assert (results2["geometry"]["depth_error_mse"]
+            == results["geometry"]["depth_error_mse"])

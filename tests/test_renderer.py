@@ -210,6 +210,53 @@ def test_differentiable_pose_gradients():
     assert float(jax.grad(loss_stopped)(0.0)) == 0.0
 
 
+def test_differentiable_pose_gradients_tiled_path():
+    """stop_pose_grad=False through the tile-banded MXU warp: with
+    ``tiled_bands`` given, the differentiable-pose mode drops the custom
+    adjoint (which cuts grid cotangents) and uses the plain-autodiff banded
+    warp — pose gradients must match the gather path's (VERDICT r4 #7)."""
+    from gmpi_tpu.core.renderer import render_mpi as _render
+    from gmpi_tpu.ops.tiled_warp import required_bands
+
+    geom, _, ray_dir, eye, z_dir = build_fixture(n_planes=4, tex=128, img=128,
+                                                 n_views=1)
+    yy, xx = np.meshgrid(np.linspace(0, 1, 128), np.linspace(0, 1, 128),
+                         indexing="ij")
+    smooth = np.stack([np.sin(2 * yy + 1), np.cos(3 * xx), yy * xx,
+                       0.5 + 0.4 * np.sin(xx + yy)], 0)
+    rgba = jnp.asarray(
+        np.tile(smooth[None, None], (1, 4, 1, 1, 1)).astype(np.float32) * 0.5
+        + 0.25)
+    cot = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, 3, 128, 128)).astype(np.float32))
+
+    from gmpi_tpu.core.renderer import homography_grid
+
+    flat_ray = jnp.broadcast_to(ray_dir[:, None], (1, 4, 3, 128, 128)
+                                ).reshape(4, 3, 128, 128)
+    flat_eye = jnp.broadcast_to(eye[:, None], (1, 4, 3)).reshape(4, 3)
+    flat_z = jnp.broadcast_to(z_dir[:, None], (1, 4, 3)).reshape(4, 3)
+    grid, _ = homography_grid(jnp.asarray(geom.dhw), flat_eye, flat_ray, flat_z)
+    by, bx = required_bands((4, 4, 128, 128), grid)
+    bands = (by + 8, bx + 8)  # slack for the eye perturbation below
+
+    def loss(eye_x, tb):
+        e = eye.at[0, 0].add(eye_x)
+        out = _render(rgba, geom.dhw, ray_dir, e, z_dir,
+                      tiled_bands=tb, stop_pose_grad=False)
+        return jnp.sum(out.color * cot)
+
+    # generic eye offset: the fixture's frontal pose aligns every pixel
+    # exactly with a texel center — a bilinear *kink*, where the two warp
+    # formulations legitimately pick different subgradients.  Off-kink the
+    # derivative is unique and the formulations must agree.
+    x0 = 0.00337
+    g_tiled = float(jax.grad(loss)(x0, bands))
+    g_gather = float(jax.grad(loss)(x0, None))
+    assert g_tiled != 0.0
+    np.testing.assert_allclose(g_tiled, g_gather, rtol=1e-4)
+
+
 @pytest.mark.slow
 def test_chunked_per_chunk_bands_matches_full():
     """Per-chunk band lists (python-unrolled slabs) == uniform-band render."""
