@@ -19,6 +19,7 @@ XLA formulation, then to a smaller config, rather than emitting nothing.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -301,7 +302,46 @@ def run_fused_views(n_views, n_planes=N_PLANES, res=RES, tex=TEX):
 
     best = sum(time_view(i) for i in range(n_views))
     mpix = (n_views * res * res) / 1e6 / best
-    cost = None
+
+    # multi-view allclose at a scale the gather oracle fits (VERDICT r4 #3:
+    # cross-view pairing bugs — cf. b02d466 — must be allclose-gated, not
+    # just banded).  Same plane count and pose SPREAD, 256² images: fused
+    # fwd+grad over all n_views at once vs render_mpi per view.
+    allclose = None
+    try:
+        from gmpi_tpu.core.renderer import render_mpi
+
+        res_s = 256
+        intr_s = cam.intrinsics_from_fov(12.6, res_s, res_s)
+        ray_s, eye_s, z_s = cam.generate_rays(intr_s, c2w)
+        cot_s = jax.jit(lambda k: jax.random.normal(
+            k, (n_views, 3, res_s, res_s), jnp.float32))(k2)
+        plan_s, splat_s = plan_fused(dhw, ray_s, eye_s, z_s, tex, tex)
+        fn_s = make_fused_renderer(plan_s, splat_s, tex, tex, early_out=True,
+                                   precision="bf16x3")
+
+        def loss_s(x):
+            color, _, _ = fn_s(x, dhw, ray_s, eye_s, z_s)
+            return jnp.sum(color * cot_s), color
+
+        def loss_o(x):
+            out = render_mpi(x, dhw, ray_s, eye_s, z_s, True)
+            return jnp.sum(out.color * cot_s), out.color
+
+        c_m = jax.jit(lambda x: loss_s(x)[1])(rgba)
+        c_o = jax.jit(lambda x: loss_o(x)[1])(rgba)
+        g_m = jax.jit(jax.grad(lambda x: loss_s(x)[0]))(rgba)
+        g_o = jax.jit(jax.grad(lambda x: loss_o(x)[0]))(rgba)
+        sc = float(jnp.max(jnp.abs(c_o)))
+        sg = float(jnp.max(jnp.abs(g_o)))
+        err_c = float(jnp.max(jnp.abs(c_m - c_o))) / max(sc, 1e-8)
+        err_g = float(jnp.max(jnp.abs(g_m - g_o))) / max(sg, 1e-8)
+        allclose = bool(err_c < 5e-4 and err_g < 5e-4)
+    except Exception as e:
+        print(f"# V={n_views} allclose gate failed to run: {e!r}",
+              file=sys.stderr)
+        allclose = False
+
     from gmpi_tpu.utils.roofline import attained, render_cost
 
     cost = render_cost(n_views, n_planes, res, res, tex, tex, backward=True,
@@ -313,6 +353,7 @@ def run_fused_views(n_views, n_planes=N_PLANES, res=RES, tex=TEX):
         "value": round(mpix, 3),
         "unit": "Mpixels/s/chip",
         "vs_baseline": None,
+        "allclose": allclose,
         "bands_ok": bands_ok,
         "views_sequential_scan": True,
         "path": "fused_pallas_mxu",

@@ -469,14 +469,14 @@ def unflatten_pixels(y, h, w):
     return x.reshape(*lead, h, w)
 
 
-def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
-                *rest,
+def _fwd_kernel(scal_ref, rays_ref, *rest,
                 L, tex_h, tex_w, pad_bot: int,
                 bands: FusedBands, early_out: bool, eps: float,
                 precision=lax.Precision.HIGHEST, compute_dtype=None,
                 with_warped: bool = True, lo: int = 0, l_total=None,
-                grad_carry: bool = False, with_disp: bool = False):
-    """Fused warp+composite, MXU formulation.
+                grad_carry: bool = False, with_disp: bool = False,
+                init_state: bool = False):
+    """Fused warp+composite, MXU formulation (r5 resident layout).
 
     Per (plane, 16x64 pixel subtile): slice + diagonally rebase a texture
     window ``[4, rwp, b_x]``, contract its texel *columns* against per-pixel
@@ -487,29 +487,24 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
     mode — Mosaic lowers only DEFAULT and HIGHEST dot precisions on TPU
     (HIGH/bf16x3 raises NotImplementedError at lowering, observed on v5e);
     the bf16 fast mode pairs ``compute_dtype=bf16`` with DEFAULT.
+
+    I/O layout (r5): the r4 kernel moved ~12 small per-step pixel blocks
+    per grid step — block-copy issue overhead was a first-order share of
+    the 26 ms fwd floor.  Now the ray fields ride ONE per-view resident
+    block ``[1, 3, NS, R8, 128]``, the composite state is ONE packed array
+    ``[V, F, NS, R8, 128]`` (F = rgb,d[,p],t[,s,m]) staged through a VMEM
+    scratch with a single manual DMA in/out per view, and the only
+    per-step block left is the warped-residual flush.
     """
-    # positional layout: [pin (with_disp)], [sin, min] (grad_carry) | tex |
-    # color, depth, [disp (with_disp)], trans, [s_out, m_out] (grad_carry),
-    # [warped] | buf, sems
+    # positional: scal (SMEM), rays (resident block) | [state_in (ANY)]
+    # | tex (ANY) | state_out (ANY), [warped (block)] | sscr, buf, sems,
+    # ssem, live_s
     rest = list(rest)
-    pin_ref = rest.pop(0) if with_disp else None
-    if grad_carry:
-        sin_ref, min_ref = rest.pop(0), rest.pop(0)
-    else:
-        sin_ref = min_ref = None
-    tex_ref, color_ref, depth_ref = rest[:3]
-    rest = rest[3:]
-    disp_ref = rest.pop(0) if with_disp else None
-    trans_ref = rest.pop(0)
-    if grad_carry:
-        s_ref, m_ref = rest.pop(0), rest.pop(0)
-    else:
-        s_ref = m_ref = None
-    if with_warped:
-        warped_ref, buf, sems, live_s = rest
-    else:
-        buf, sems, live_s = rest
-        warped_ref = None
+    state_in_any = None if init_state else rest.pop(0)
+    tex_ref = rest.pop(0)
+    state_out_any = rest.pop(0)
+    warped_ref = rest.pop(0) if with_warped else None
+    sscr, buf, sems, ssem, live_s = rest
     if l_total is None:
         l_total = L
     d_y, by_pad, b_xp = bands.d_y, bands.by_pad, bands.b_x
@@ -520,14 +515,29 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
     # the 128-aligned rebase leaves shift < 192 when the window start is
     # unclamped; when wp == win_w the window is the whole padded texture
     assert b_xp + 192 <= win_w or wp == win_w, (b_xp, win_w, wp)
-    r8 = rx_ref.shape[2]            # (W//64)*8 flat rows per strip
+    n_strips = rays_ref.shape[2]
+    r8 = rays_ref.shape[3]          # (W//64)*8 flat rows per strip
     n_sub = r8 // 8
     f32 = jnp.float32
     vi = pl.program_id(0)
+    si = pl.program_id(1)
 
-    rx_full = rx_ref[0, 0]          # [R8, 128] subtile-flat
-    ry_full = ry_ref[0, 0]
-    q_full = q_ref[0, 0]
+    # field indices in the packed state
+    idx_t = 4 + (1 if with_disp else 0)
+    n_fields = idx_t + 1 + (2 if grad_carry else 0)
+
+    if state_in_any is not None:
+        @pl.when(si == 0)
+        def _():
+            # one contiguous [1, F, NS, R8, 128] copy per view
+            cp = pltpu.make_async_copy(
+                state_in_any.at[pl.ds(vi, 1)], sscr, ssem.at[0])
+            cp.start()
+            cp.wait()
+
+    rx_full = rays_ref[0, 0, pl.ds(si, 1)][0]   # [R8, 128] subtile-flat
+    ry_full = rays_ref[0, 1, pl.ds(si, 1)][0]
+    q_full = rays_ref[0, 2, pl.ds(si, 1)][0]
     # expected disparity (``gmpi/core/mpi.py:431``): disp_l = 1/(dsc_l * q)
     # accumulated with the same weights as depth; computed as
     # (1/dsc) * (1/q) so the per-pixel reciprocal happens once per strip
@@ -566,29 +576,44 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
             sems.at[slot],
         )
 
-    # over-compositing continues from the previous (nearer) plane slab
-    acc_rgb0 = cin_ref[0, :, 0]
-    acc_d0 = din_ref[0, 0]
-    acc_p0 = pin_ref[0, 0] if with_disp else None
-    acc_t0 = tin_ref[0, 0]
+    # over-compositing continues from the previous (nearer) plane slab:
+    # the packed state slice of THIS strip (or fresh values for chunk 0)
+    if init_state:
+        acc_rgb0 = jnp.zeros((3, r8, LANES), f32)
+        acc_d0 = jnp.zeros((r8, LANES), f32)
+        acc_p0 = jnp.zeros((r8, LANES), f32) if with_disp else None
+        acc_t0 = jnp.ones((r8, LANES), f32)
+        acc_s0 = jnp.ones((r8, LANES), f32) if grad_carry else None
+        acc_m0 = jnp.ones((r8, LANES), f32) if grad_carry else None
+    else:
+        st = sscr[0, :, pl.ds(si, 1)]           # [F, 1, R8, 128]
+        acc_rgb0 = st[0:3, 0]
+        acc_d0 = st[3, 0]
+        acc_p0 = st[4, 0] if with_disp else None
+        acc_t0 = st[idx_t, 0]
+        acc_s0 = st[idx_t + 1, 0] if grad_carry else None
+        acc_m0 = st[idx_t + 2, 0] if grad_carry else None
     if grad_carry:
         # S/M occlusion state carried ACROSS chunks (chunk-local state made
         # the skip useless for chunked plans: every chunk restarted S = 1,
         # so planes occluded by an earlier chunk were never skipped)
-        acc_s0 = sin_ref[0, 0]
-        acc_m0 = min_ref[0, 0]
-        live_s[0] = jnp.where(jnp.max(acc_s0 / acc_m0) >= GRAD_TAU, 1, 0)
+        if init_state:
+            live_s[0] = 1
+        else:
+            live_s[0] = jnp.where(jnp.max(acc_s0 / acc_m0) >= GRAD_TAU, 1, 0)
 
         @pl.when(live_s[0] == 1)
         def _():
             dma(0, 0).start()
     else:
-        acc_s0 = acc_m0 = None
         if early_out:
             # gate the whole DMA chain on the carried transmittance (r4:
             # the ungated inference path measured 53.5 ms vs the gated grad
             # path's 29.7 — occluded planes' texture bands still streamed)
-            live_s[0] = jnp.where(jnp.max(acc_t0) >= 1e-6, 1, 0)
+            if init_state:
+                live_s[0] = 1
+            else:
+                live_s[0] = jnp.where(jnp.max(acc_t0) >= 1e-6, 1, 0)
 
             @pl.when(live_s[0] == 1)
             def _():
@@ -720,7 +745,6 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
         # d_alpha at O(1)).  The clamped product can't hit that zero.
         def plane_body(l, carry):
             accs, acc_s, acc_m = carry
-            acc_t = accs[-1]
             slot = lax.rem(l, 2)
             # the S-check's [R8, 128] reduce + scalar extract costs ~1-2 us
             # per plane and was a large share of the fwd floor (r4): dead
@@ -762,8 +786,6 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
         accs, acc_s, acc_m = lax.fori_loop(
             0, L, plane_body,
             (accs0, acc_s0, acc_m0))
-        s_ref[0, 0] = acc_s
-        m_ref[0, 0] = acc_m
     elif early_out:
         def plane_body(l, carry):
             accs = carry
@@ -795,6 +817,7 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
             return lax.cond(live, live_fn, dead_fn, 0)
 
         accs = lax.fori_loop(0, L, plane_body, accs0)
+        acc_s = acc_m = None
     else:
         def plane_body(l, carry):
             slot = lax.rem(l, 2)
@@ -808,11 +831,23 @@ def _fwd_kernel(scal_ref, rx_ref, ry_ref, q_ref, cin_ref, din_ref, tin_ref,
             return compute_plane(l, slot, carry)[0]
 
         accs = lax.fori_loop(0, L, plane_body, accs0)
-    color_ref[0, :, 0] = accs[0]
-    depth_ref[0, 0] = accs[1]
+        acc_s = acc_m = None
+
+    # pack this strip's updated state back into the scratch slot
+    fields = list(accs[0]) + [accs[1]]
     if with_disp:
-        disp_ref[0, 0] = accs[2]
-    trans_ref[0, 0] = accs[-1]
+        fields.append(accs[2])
+    fields.append(accs[-1])
+    if grad_carry:
+        fields += [acc_s, acc_m]
+    sscr[0, :, pl.ds(si, 1)] = jnp.stack(fields, axis=0)[:, None]
+
+    @pl.when(si == n_strips - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            sscr, state_out_any.at[pl.ds(vi, 1)], ssem.at[1])
+        cp.start()
+        cp.wait()
 
 
 def warp_composite_fwd(
@@ -832,6 +867,7 @@ def warp_composite_fwd(
     with_warped: bool = True,   # False: skip the VJP residual (inference)
     lo: int = 0,            # first plane of this chunk within tex_pad
     with_disp: bool = False,    # expected-disparity partial (mpi.py:431)
+    packed_io: bool = False,    # return/accept the packed state array
 ):
     """Slab partials + warped residual for one plane chunk.
 
@@ -865,57 +901,43 @@ def warp_composite_fwd(
 
     tex_flat = tex_pad.reshape(v * l_total, 4, *tex_pad.shape[3:])
     n_base = 4 if with_disp else 3  # (c, d[, p], t)
-    pin = None
-    if carry is None:
-        base = None
-    elif early_out == "grad" and len(carry) == n_base:
-        base = carry
-        carry = None  # fall through to fresh S/M below
-    else:
-        base = carry[:n_base]
-    if base is None:
-        cin = jnp.zeros((v, 3, n_strips, r8, LANES), jnp.float32)
-        din = jnp.zeros((v, n_strips, r8, LANES), jnp.float32)
-        if with_disp:
-            pin = jnp.zeros((v, n_strips, r8, LANES), jnp.float32)
-        tin = jnp.ones((v, n_strips, r8, LANES), jnp.float32)
-    else:
-        cin, din = base[0], base[1]
-        if with_disp:
-            pin = base[2]
-        tin = base[-1]
     grad_carry = early_out == "grad"
-    if grad_carry:
-        if carry is not None and len(carry) == n_base + 2:
-            sin, min_ = carry[n_base], carry[n_base + 1]
+    # packed fields: rgb(3) + d + [p] + t + [s, m]
+    idx_t = 4 + (1 if with_disp else 0)
+    n_fields = idx_t + 1 + (2 if grad_carry else 0)
+
+    # pack the carry into the single state array [V, F, NS, R8, 128]
+    state_in = None
+    if carry is not None and not isinstance(carry, (tuple, list)):
+        state_in = carry  # already packed (chunk chaining)
+        assert state_in.shape[1] == n_fields, (state_in.shape, n_fields)
+    elif carry is not None:
+        if early_out == "grad" and len(carry) == n_base:
+            base = list(carry)
         else:
-            sin = jnp.ones((v, n_strips, r8, LANES), jnp.float32)
-            min_ = jnp.ones((v, n_strips, r8, LANES), jnp.float32)
+            base = list(carry[:n_base])
+        fields = [base[0]] + [x[:, None] for x in base[1:]]
+        if grad_carry:
+            if len(carry) == n_base + 2:
+                fields += [carry[n_base][:, None], carry[n_base + 1][:, None]]
+            else:
+                ones = jnp.ones((v, 1, n_strips, r8, LANES), jnp.float32)
+                fields += [ones, ones]
+        state_in = jnp.concatenate(fields, axis=1)
 
     kernel = functools.partial(
         _fwd_kernel, L=l_planes, tex_h=tex_h, tex_w=tex_w, pad_bot=pad_bot,
         bands=bands, early_out=early_out, eps=eps, precision=precision,
         compute_dtype=compute_dtype, with_warped=with_warped,
-        lo=lo, l_total=l_total, grad_carry=grad_carry, with_disp=with_disp)
+        lo=lo, l_total=l_total, grad_carry=grad_carry, with_disp=with_disp,
+        init_state=state_in is None)
 
     grid = (v, n_strips)
-    px = lambda vi, si: (vi, si, 0, 0)
-    pxspec = pl.BlockSpec((1, 1, r8, LANES), px)
-    cspec = pl.BlockSpec((1, 3, 1, r8, LANES), lambda vi, si: (vi, 0, si, 0, 0))
-    pxshape = jax.ShapeDtypeStruct((v, n_strips, r8, LANES), jnp.float32)
-    out_shape = [
-        jax.ShapeDtypeStruct((v, 3, n_strips, r8, LANES), jnp.float32),
-        pxshape,
-    ]
-    out_specs = [cspec, pxspec]
-    if with_disp:
-        out_shape.append(pxshape)
-        out_specs.append(pxspec)
-    out_shape.append(pxshape)  # trans
-    out_specs.append(pxspec)
-    if grad_carry:
-        out_shape += [pxshape, pxshape]
-        out_specs += [pxspec, pxspec]
+    rays = jnp.stack([rx, ry, q], axis=1)  # [V, 3, NS, R8, 128]
+    state_shape = jax.ShapeDtypeStruct(
+        (v, n_fields, n_strips, r8, LANES), jnp.float32)
+    out_shape = [state_shape]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if with_warped:
         # strip-major [V, NS, L, 4, R8, 128]: contiguous per-strip flush
         out_shape.append(jax.ShapeDtypeStruct(
@@ -925,16 +947,14 @@ def warp_composite_fwd(
     in_specs = [
         pl.BlockSpec((1, l_planes, 6), lambda vi, si: (vi, 0, 0),
                      memory_space=pltpu.SMEM),
-        pxspec, pxspec, pxspec,
-        cspec, pxspec, pxspec,
+        # per-view resident ray fields: ONE block copy per view
+        pl.BlockSpec((1, 3, n_strips, r8, LANES),
+                     lambda vi, si: (vi, 0, 0, 0, 0)),
     ]
-    inputs = [scal, rx, ry, q, cin, din, tin]
-    if with_disp:
-        in_specs.append(pxspec)
-        inputs.append(pin)
-    if grad_carry:
-        in_specs += [pxspec, pxspec]
-        inputs += [sin, min_]
+    inputs = [scal, rays]
+    if state_in is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inputs.append(state_in)
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     inputs.append(tex_flat)
     outs = pl.pallas_call(
@@ -945,9 +965,11 @@ def warp_composite_fwd(
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             scratch_shapes=[
+                pltpu.VMEM((1, n_fields, n_strips, r8, LANES), jnp.float32),
                 pltpu.VMEM((1, 4, 2 * bands.by_pad, tex_pad.shape[4]),
                            compute_dtype or jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),   # state in/out
                 pltpu.SMEM((1,), jnp.int32),   # strip liveness flag
             ],
         ),
@@ -955,15 +977,18 @@ def warp_composite_fwd(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(*inputs)
-    outs = list(outs)
-    base_out = tuple(outs[:n_base])  # (c, d[, p], t)
-    sm = tuple(outs[n_base:n_base + 2]) if grad_carry else ()
-    warped = outs[-1] if with_warped else None
+    state_out = outs[0]
+    warped = outs[1] if with_warped else None
+    if packed_io:
+        return state_out, warped
+    base_out = (state_out[:, 0:3],) + tuple(
+        state_out[:, 3 + i] for i in range(n_base - 1))
     if grad_carry:
-        return base_out + (warped, sm[0], sm[1])
+        return base_out + (warped, state_out[:, idx_t + 1],
+                           state_out[:, idx_t + 2])
     return base_out + (warped,)
 
 
@@ -2503,27 +2528,26 @@ def render_mpi_fused_fwd(
                                 for _, _, b in plan))
     tex_pad = pad_textures(rgba.astype(compute_dtype or jnp.float32), pad_bot)
     n_base = 4 if with_disp else 3
-    carry = None
+    state = None
     warped_parts = []
     for lo, hi, bands in plan:
-        outs = warp_composite_fwd(
+        # packed_io: the composite state (incl. the grad path's S/M
+        # occlusion bitmap) chains between chunk kernels as ONE array —
+        # no per-field repacks at chunk boundaries
+        state, w = warp_composite_fwd(
             tex_pad, rx, ry, q, scal[:, lo:hi], bands,
-            early_out=early_out, eps=eps, interpret=interpret, carry=carry,
+            early_out=early_out, eps=eps, interpret=interpret, carry=state,
             pad_bot=pad_bot, precision=precision, compute_dtype=compute_dtype,
-            with_warped=with_warped, lo=lo, with_disp=with_disp)
-        base = outs[:n_base]
-        w = outs[n_base]
-        if early_out == "grad":
-            # thread the S/M occlusion state so later chunks keep skipping
-            carry = base + outs[n_base + 1:n_base + 3]
-        else:
-            carry = base
+            with_warped=with_warped, lo=lo, with_disp=with_disp,
+            packed_io=True)
         warped_parts.append(w)
     # warped stays in the strip-major subtile-flat layout [V, NS, L, 4,
     # R8, 128] (the VJP consumes it there); the chunk concat on the plane
     # axis copies contiguous L_chunk x 262 KB runs per (view, strip)
     warped = jnp.concatenate(warped_parts, axis=2) if with_warped else None
-    base = tuple(unflatten_pixels(x, h, w_img) for x in carry[:n_base])
+    base = tuple(unflatten_pixels(x, h, w_img)
+                 for x in ((state[:, 0:3],)
+                           + tuple(state[:, 3 + i] for i in range(n_base - 1))))
     color = base[0]
     rest = tuple(x[:, None] for x in base[1:])  # depth[, disp], trans
     return (color,) + rest + (warped,)
