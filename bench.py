@@ -182,11 +182,12 @@ def run_fused(n_planes, res, tex):
     # (plane, strip) blocks the S-criterion keeps live for THIS rgba
     # (uniform-random alphas occlude after ~35 planes; real MPIs differ)
     from gmpi_tpu.ops.pallas_warp import render_mpi_fused_fwd
-    warped = jax.jit(lambda x: render_mpi_fused_fwd(
+    # per-strip live-plane counts (r5: dead planes' residual slots are left
+    # unwritten, so liveness comes from the kernel's n_live output)
+    n_live = jax.jit(lambda x: render_mpi_fused_fwd(
         x, dhw, ray_dir, eye, z_dir, plan, early_out="grad",
-        precision="bf16x3")[3])(rgba)
-    live = float(jnp.mean(jnp.any(warped != 0.0, axis=(3, 4, 5))))
-    del warped
+        precision="bf16x3")[4])(rgba)
+    live = float(jnp.mean(n_live.astype(jnp.float32) / n_planes))
 
     mpix = (res * res) / 1e6 / best
     return {

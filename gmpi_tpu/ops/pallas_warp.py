@@ -76,10 +76,6 @@ WIN_SUB = 384      # static texture-lane window per subtile before rebasing
 _FORCE_TRIM = None  # perf-probe override of warp_splat's trim auto-detect
 _SPLAT_BACKEND = None  # None=auto, "fat", "classic" (perf probes/tests)
 _COMP_BACKEND = None   # None=auto, "fat", "block" (perf probes/tests)
-# perf probe ONLY: skip the dead-plane zeroing of the warped residual in the
-# fused fwd (leaves garbage in dead planes' residual slots — the backward
-# would be WRONG; measures the zeroing cost ceiling)
-_SKIP_ZERO_WARPED = False
 
 
 def _gc_strips(ns_total: int) -> int:
@@ -497,13 +493,14 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
     per-step block left is the warped-residual flush.
     """
     # positional: scal (SMEM), rays (resident block) | [state_in (ANY)]
-    # | tex (ANY) | state_out (ANY), [warped (block)] | sscr, buf, sems,
-    # ssem, live_s
+    # | tex (ANY) | state_out (ANY), [warped (block)], [nl (SMEM block,
+    # grad_carry)] | sscr, buf, sems, ssem, live_s
     rest = list(rest)
     state_in_any = None if init_state else rest.pop(0)
     tex_ref = rest.pop(0)
     state_out_any = rest.pop(0)
     warped_ref = rest.pop(0) if with_warped else None
+    nl_ref = rest.pop(0) if grad_carry else None
     sscr, buf, sems, ssem, live_s = rest
     if l_total is None:
         l_total = L
@@ -601,6 +598,9 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
             live_s[0] = 1
         else:
             live_s[0] = jnp.where(jnp.max(acc_s0 / acc_m0) >= GRAD_TAU, 1, 0)
+        # chunk-local live-plane count: L if the strip never dies here,
+        # else the plane index at the live->dead transition
+        live_s[1] = jnp.where(live_s[0] == 1, L, 0)
 
         @pl.when(live_s[0] == 1)
         def _():
@@ -720,10 +720,12 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
         one_m = jnp.maximum(1.0 - alpha, 0.0) + eps
         return out, one_m
 
-    def zero_warped(l):
-        if warped_ref is not None and not _SKIP_ZERO_WARPED:
-            warped_ref[0, 0, pl.ds(l, 1)] = jnp.zeros((1, 4, r8, LANES), f32)
-
+    # NOTE: dead planes' warped-residual slots are left UNWRITTEN (stale
+    # VMEM / garbage in HBM).  The r4 kernel zeroed them — ~1 GB of VMEM
+    # memsets per grad at 1024^2 and a large share of the fwd floor.  The
+    # per-strip live-plane count (n_live, monotone: liveness only ever
+    # transitions live->dead along planes) ships to the composite backward,
+    # which masks planes >= n_live instead of reading their slots.
     accs0 = ((acc_rgb0, acc_d0) + ((acc_p0,) if with_disp else ())
              + (acc_t0,))
 
@@ -757,8 +759,10 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
 
             @pl.when(started & (lax.rem(l, 4) == 0) & (l > 0))
             def _():
-                live_s[0] = jnp.where(
-                    jnp.max(acc_s / acc_m) >= GRAD_TAU, 1, 0)
+                alive = jnp.max(acc_s / acc_m) >= GRAD_TAU
+                live_s[0] = jnp.where(alive, 1, 0)
+                # record the transition plane for the backward's masking
+                live_s[1] = jnp.where(alive, L, l)
 
             live = live_s[0] == 1
 
@@ -778,7 +782,8 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
                         jnp.minimum(acc_m, one_m))
 
             def dead_fn(_):
-                zero_warped(l)
+                # dead planes: no compute, no residual write (n_live masks
+                # their slots in the composite backward)
                 return accs, acc_s, acc_m
 
             return lax.cond(live, live_fn, dead_fn, 0)
@@ -786,6 +791,7 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
         accs, acc_s, acc_m = lax.fori_loop(
             0, L, plane_body,
             (accs0, acc_s0, acc_m0))
+        nl_ref[0, 0] = live_s[1]
     elif early_out:
         def plane_body(l, carry):
             accs = carry
@@ -811,7 +817,9 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
                 return compute_plane(l, slot, accs)[0]
 
             def dead_fn(_):
-                zero_warped(l)
+                # early_out=True is the discard-the-residual inference mode:
+                # dead planes' warped slots are left stale (callers must not
+                # consume warped on this path — the VJP uses "grad")
                 return accs
 
             return lax.cond(live, live_fn, dead_fn, 0)
@@ -944,6 +952,11 @@ def warp_composite_fwd(
             (v, n_strips, l_planes, 4, r8, LANES), jnp.float32))
         out_specs.append(pl.BlockSpec((1, 1, l_planes, 4, r8, LANES),
                                       lambda vi, si: (vi, si, 0, 0, 0, 0)))
+    if grad_carry:
+        # per-strip live-plane count for the composite backward's masking
+        out_shape.append(jax.ShapeDtypeStruct((v, n_strips), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 1), lambda vi, si: (vi, si),
+                                      memory_space=pltpu.SMEM))
     in_specs = [
         pl.BlockSpec((1, l_planes, 6), lambda vi, si: (vi, 0, 0),
                      memory_space=pltpu.SMEM),
@@ -970,7 +983,7 @@ def warp_composite_fwd(
                            compute_dtype or jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),   # state in/out
-                pltpu.SMEM((1,), jnp.int32),   # strip liveness flag
+                pltpu.SMEM((2,), jnp.int32),   # [liveness flag, n_live]
             ],
         ),
         out_shape=tuple(out_shape),
@@ -982,13 +995,15 @@ def warp_composite_fwd(
     )(*inputs)
     state_out = outs[0]
     warped = outs[1] if with_warped else None
+    n_live = outs[-1] if grad_carry else None
     if packed_io:
-        return state_out, warped
+        return (state_out, warped, n_live) if grad_carry else (state_out,
+                                                               warped)
     base_out = (state_out[:, 0:3],) + tuple(
         state_out[:, 3 + i] for i in range(n_base - 1))
     if grad_carry:
         return base_out + (warped, state_out[:, idx_t + 1],
-                           state_out[:, idx_t + 2])
+                           state_out[:, idx_t + 2], n_live)
     return base_out + (warped,)
 
 
@@ -2081,12 +2096,16 @@ def composite_bwd(warped, delta, g_color, g_depth, g_trans, eps: float = EPS,
 
 
 def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
-                          gp_ref, out_ref, *rest, L, eps, has_gd, has_gt,
-                          has_gp=False, grad_tau=None, with_live=False):
+                          gp_ref, *rest, L, eps, has_gd, has_gt,
+                          has_gp=False, grad_tau=None, with_live=False,
+                          has_nl=False):
     rest = list(rest)
+    nl_ref = rest.pop(0) if has_nl else None
+    out_ref = rest.pop(0)
     live_ref = rest.pop(0) if with_live else None
     t_ref = rest.pop(0)
     m_ref = rest.pop(0) if rest else None
+    nl = nl_ref[0, 0] if has_nl else None
     """Per (view, pixel block): the composite backward as two in-register
     plane passes — forward transmittance products into a [L, rows, 128]
     scratch, then a back-to-front suffix accumulation emitting d_rgba.
@@ -2117,6 +2136,8 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
         # overshoot of the bf16x3 warp (delta ~ 1e-5), where dividing by a
         # signed near-zero would inject an O(1) d_alpha error.
         one_m = jnp.maximum(1.0 - a, 0.0) + eps
+        if has_nl:
+            one_m = jnp.where(l < nl, one_m, 1.0)  # see fat kernel note
         return t * one_m, jnp.minimum(m, one_m) if m_ref is not None else m
 
     t_total, _ = lax.fori_loop(
@@ -2144,6 +2165,10 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
             e = e + gp_ref[0, 0, 0] * ((1.0 / scal_ref[0, l, 4]) * qinv)
         one_m = jnp.maximum(1.0 - a, 0.0) + eps  # see pass1 note
         w = a * t_excl
+        if has_nl:
+            dead = l >= nl
+            e = jnp.where(dead, 0.0, e)
+            w = jnp.where(dead, 0.0, w)
         d_alpha = t_excl * e - u / one_m
         if has_gt:
             d_alpha = d_alpha - gt_term / one_m
@@ -2183,10 +2208,9 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
 
 
 def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref, gp_ref,
-                              warped_any, out_any, live_ref,
-                              wstack, dstack, t_ref, m_ref, isem, osem, *,
+                              *rest,
                               L, eps, has_gd, has_gt, has_gp, grad_tau,
-                              with_live, n_chunks, chunk_l4):
+                              with_live, n_chunks, chunk_l4, has_nl=False):
     """Fat composite backward: one STRIP per grid step (r4, strip-major).
 
     The block-partitioned version's [.., L, 4, .., br, 128] blocks are
@@ -2195,7 +2219,18 @@ def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref, gp_ref,
     ~2 MB copies, both passes run over VMEM-resident stacks, and d_samp
     leaves as ONE contiguous copy whose drain overlaps the next strip's
     stream-in + pass1.
+
+    ``has_nl``: the fused fwd's grad path leaves dead planes' residual
+    slots UNWRITTEN (garbage) and ships the per-strip live-plane count
+    instead — planes ``l >= n_live`` are masked out of the transmittance
+    recursion (their factor forced to 1) and of every cotangent term, so
+    the garbage never propagates (the ``where`` masks select exact zeros
+    even against NaN garbage).
     """
+    rest = list(rest)
+    nl_ref = rest.pop(0) if has_nl else None
+    (warped_any, out_any, live_ref,
+     wstack, dstack, t_ref, m_ref, isem, osem) = rest
     f32 = jnp.float32
     vi = pl.program_id(0)
     si = pl.program_id(1)
@@ -2230,6 +2265,7 @@ def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref, gp_ref,
     gc0 = gc_ref[0, 0, 0]
     gc1 = gc_ref[0, 1, 0]
     gc2 = gc_ref[0, 2, 0]
+    nl = nl_ref[0, 0] if has_nl else None
 
     def pass1_chunk(k, carry):
         t, m = carry
@@ -2247,6 +2283,10 @@ def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref, gp_ref,
             m_ref[l] = m
             a = wstack[0, l * 4 + 3]
             one_m = jnp.maximum(1.0 - a, 0.0) + eps   # see block kernel note
+            if has_nl:
+                # dead plane: factor 1 freezes t/m at their last live values
+                # (a is garbage here; where() selects 1.0 even if a is NaN)
+                one_m = jnp.where(l < nl, one_m, 1.0)
             return t * one_m, jnp.minimum(m, one_m)
 
         return lax.fori_loop(0, chunk_l4 // 4, plane, (t, m))
@@ -2281,6 +2321,12 @@ def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref, gp_ref,
             e = e + gp_ref[0, 0] * ((1.0 / scal_ref[0, l, 4]) * qinv)
         one_m = jnp.maximum(1.0 - a, 0.0) + eps
         w = a * t_excl
+        if has_nl:
+            # garbage r/a for dead planes: zero their contributions exactly
+            # (u's suffix sum and every output term go through w/e)
+            dead = l >= nl
+            e = jnp.where(dead, 0.0, e)
+            w = jnp.where(dead, 0.0, w)
         d_alpha = t_excl * e - u / one_m
         if has_gt:
             d_alpha = d_alpha - gt_term / one_m
@@ -2321,7 +2367,7 @@ def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref, gp_ref,
 
 
 def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
-                       grad_tau, with_live, gp=None):
+                       grad_tau, with_live, gp=None, n_live=None):
     """Per-strip fat composite backward (see :func:`_composite_bwd_fat_kernel`)."""
     v, ns, l_planes = warped_f.shape[0], warped_f.shape[1], warped_f.shape[2]
     r8 = warped_f.shape[4]
@@ -2340,8 +2386,14 @@ def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
         _composite_bwd_fat_kernel, L=l_planes, eps=eps,
         has_gd=gd is not None, has_gt=gt is not None, has_gp=gp is not None,
         grad_tau=grad_tau, with_live=with_live,
-        n_chunks=n_chunks, chunk_l4=chunk_l4)
+        n_chunks=n_chunks, chunk_l4=chunk_l4, has_nl=n_live is not None)
     field = pl.BlockSpec((1, 1, r8, LANES), lambda vi, si: (vi, si, 0, 0))
+    nl_inputs, nl_specs = [], []
+    if n_live is not None:
+        assert grad_tau is not None, "n_live masking requires grad_tau"
+        nl_inputs = [n_live.astype(jnp.int32)]
+        nl_specs = [pl.BlockSpec((1, 1), lambda vi, si: (vi, si),
+                                 memory_space=pltpu.SMEM)]
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -2356,6 +2408,7 @@ def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
                 field,
                 field,
                 field,
+                *nl_specs,
                 pl.BlockSpec(memory_space=pl.ANY),   # warped (flat)
             ],
             out_specs=(
@@ -2380,7 +2433,7 @@ def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(scal, qf, gc, gdr, gtr, gpr, w_flat)
+    )(scal, qf, gc, gdr, gtr, gpr, *nl_inputs, w_flat)
     d_samp, live = outs
     d_samp = d_samp.reshape(v, ns, l_planes, 4, r8, LANES)
     if with_live:
@@ -2391,7 +2444,7 @@ def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
 def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
                          eps: float = EPS, interpret: bool = False,
                          block_rows: int = None, grad_tau=None,
-                         with_live: bool = False, gp=None):
+                         with_live: bool = False, gp=None, n_live=None):
     """Pallas composite backward over subtile-flat stacks.
 
     warped_f [V, NS, L, 4, R8, 128] (strip-major — the forward's residual
@@ -2419,7 +2472,8 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
         if (_COMP_BACKEND == "fat" or fat_bytes + (8 << 20) < 88 << 20):
             return _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps,
                                       interpret, grad_tau,
-                                      with_live and with_live_ok, gp=gp)
+                                      with_live and with_live_ok, gp=gp,
+                                      n_live=n_live)
     if block_rows is None:
         # largest pixel block whose double-buffered in+out stacks + t/m
         # scratch fit the VMEM budget: the [.., L, 4, 1, br, 128] blocks are
@@ -2449,7 +2503,10 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
     kernel = functools.partial(_composite_bwd_kernel, L=l_planes, eps=eps,
                                has_gd=gd is not None, has_gt=gt is not None,
                                has_gp=gp is not None,
-                               grad_tau=grad_tau, with_live=with_live)
+                               grad_tau=grad_tau, with_live=with_live,
+                               has_nl=n_live is not None)
+    if n_live is not None:
+        assert grad_tau is not None, "n_live masking requires grad_tau"
     scratch = [pltpu.VMEM((l_planes, block_rows, LANES), jnp.float32)]
     if grad_tau is not None:
         scratch.append(pltpu.VMEM((l_planes, block_rows, LANES), jnp.float32))
@@ -2479,6 +2536,9 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
                 field,
                 field,
                 field,
+                *([pl.BlockSpec((1, 1), lambda vi, si, ri: (vi, si),
+                                memory_space=pltpu.SMEM)]
+                  if n_live is not None else []),
             ],
             out_specs=tuple(out_specs) if with_live else out_specs[0],
             scratch_shapes=scratch,
@@ -2489,7 +2549,8 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(scal, wr, qr, gcr, gdr, gtr, gpr)
+    )(scal, wr, qr, gcr, gdr, gtr, gpr,
+      *([] if n_live is None else [n_live.astype(jnp.int32)]))
     if with_live:
         d_samp, live = outs
         return (d_samp.reshape(v, ns, l_planes, 4, r8, LANES),
@@ -2530,16 +2591,23 @@ def render_mpi_fused_fwd(
     n_base = 4 if with_disp else 3
     state = None
     warped_parts = []
+    n_live = None
     for lo, hi, bands in plan:
         # packed_io: the composite state (incl. the grad path's S/M
         # occlusion bitmap) chains between chunk kernels as ONE array —
         # no per-field repacks at chunk boundaries
-        state, w = warp_composite_fwd(
+        outs = warp_composite_fwd(
             tex_pad, rx, ry, q, scal[:, lo:hi], bands,
             early_out=early_out, eps=eps, interpret=interpret, carry=state,
             pad_bot=pad_bot, precision=precision, compute_dtype=compute_dtype,
             with_warped=with_warped, lo=lo, with_disp=with_disp,
             packed_io=True)
+        state, w = outs[0], outs[1]
+        if early_out == "grad":
+            # global per-strip live-plane count = sum of chunk-local counts
+            # (liveness is monotone across the chained chunks)
+            nl_k = outs[2]
+            n_live = nl_k if n_live is None else n_live + nl_k
         warped_parts.append(w)
     # warped stays in the strip-major subtile-flat layout [V, NS, L, 4,
     # R8, 128] (the VJP consumes it there); the chunk concat on the plane
@@ -2550,6 +2618,8 @@ def render_mpi_fused_fwd(
                            + tuple(state[:, 3 + i] for i in range(n_base - 1))))
     color = base[0]
     rest = tuple(x[:, None] for x in base[1:])  # depth[, disp], trans
+    if early_out == "grad":
+        return (color,) + rest + (warped, n_live)
     return (color,) + rest + (warped,)
 
 
@@ -2702,10 +2772,11 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
             precision=precision, compute_dtype=compute_dtype,
             with_disp=with_disp)
         warped = outs[n_base]
-        return outs[:n_base], (warped, dhw, ray_dir, eye_pos, z_dir)
+        n_live = outs[n_base + 1] if grad_sparsity else None
+        return outs[:n_base], (warped, n_live, dhw, ray_dir, eye_pos, z_dir)
 
     def fn_bwd(res, cot):
-        warped, dhw, ray_dir, eye_pos, z_dir = res
+        warped, n_live, dhw, ray_dir, eye_pos, z_dir = res
         if with_disp:
             g_color, g_depth, g_disp, g_trans = cot
         else:
@@ -2729,11 +2800,16 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
             d_samp6 = composite_bwd_pallas(
                 warped, scal, qf6, gc6, gd6, gt6, eps, interpret=interpret,
                 grad_tau=GRAD_TAU if grad_sparsity else None,
-                with_live=grad_sparsity, gp=gp6)
+                with_live=grad_sparsity, gp=gp6, n_live=n_live)
             if grad_sparsity and isinstance(d_samp6, tuple):
                 d_samp6, live_flags = d_samp6
         else:
             # debug fallback (XLA composite backward is plane-major)
+            if n_live is not None:
+                # zero the unwritten dead-plane slots the pallas path masks
+                lmask = (jnp.arange(l_all)[None, None, :] <
+                         n_live[:, :, None])
+                warped = jnp.where(lmask[..., None, None, None], warped, 0.0)
             warped_pm = jnp.transpose(warped, (0, 2, 3, 1, 4, 5))
             qf = qf6.reshape(v, -1, LANES)
             warped_f = warped_pm.reshape(v, l_all, 4, -1, LANES)

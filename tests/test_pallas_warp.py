@@ -427,10 +427,12 @@ def test_fused_multi_chunk_offsets_match_oracle():
 
 
 def test_grad_sparsity_propagates_across_chunks():
-    """r4 fix: the S/M occlusion state threads through the inter-chunk
-    carry — with a forced multi-chunk plan, planes in LATER chunks behind
-    two opaque planes of chunk 0 must still produce zero residuals (the
-    chunk-local state restarted S=1 per chunk and never skipped them)."""
+    """r4 fix + r5 n_live contract: the S/M occlusion state threads through
+    the inter-chunk carry — with a forced multi-chunk plan, planes in LATER
+    chunks behind two opaque planes of chunk 0 must be counted dead by the
+    per-strip ``n_live`` output (their residual slots are left unwritten —
+    the composite backward masks them by ``n_live``, oracle-gated by the
+    grad-parity tests)."""
     from gmpi_tpu.ops.pallas_warp import (plan_fused_render,
                                           render_mpi_fused_fwd)
 
@@ -449,16 +451,20 @@ def test_grad_sparsity_propagates_across_chunks():
     rgba[:, 1, 3] = 1.0
     rgba = jnp.asarray(rgba)
 
-    _, _, _, warped = render_mpi_fused_fwd(
+    outs = render_mpi_fused_fwd(
         rgba, dhw, ray_dir, eye, z_dir, plan_t, early_out="grad",
         interpret=True)
-    w = np.asarray(warped)   # strip-major [V, NS, L, 4, R8, 128]
-    # planes in chunks PAST the occluders must be exact zeros (each chunk
-    # entry re-checks the carried S).  Within a chunk the S-check runs
-    # every 4th plane, so a plane can lag its death by <=3 slots — assert
-    # from the first chunk boundary after the occluders onward.
+    warped, n_live = outs[3], outs[4]
+    nl = np.asarray(n_live)   # [V, NS]
+    # planes in chunks PAST the occluders must be dead (each chunk entry
+    # re-checks the carried S).  Within a chunk the S-check runs every 4th
+    # plane, so a plane can lag its death by <=3 slots — assert from the
+    # first chunk boundary after the occluders onward.
     first_boundary = next(lo for lo, hi, _ in plan_t if lo >= 2)
-    assert float(np.max(np.abs(w[:, :, first_boundary:]))) == 0.0
+    assert int(nl.max()) <= first_boundary
+    assert int(nl.min()) >= 1  # the front opaque plane is always live
+    # live planes' residuals are real values
+    w = np.asarray(warped)
     assert float(np.max(np.abs(w[:, :, 0]))) > 0.0
 
 
