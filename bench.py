@@ -200,6 +200,8 @@ def run_fused(n_planes, res, tex):
         "fwd_max_rel_err": round(err_c / max(scale_c, 1e-12), 8),
         "fwd_grad_max_rel_err": round(err_g / max(scale_g, 1e-12), 8),
         "live_fraction": round(live, 4),
+        # fwd chunk kernels + composite-bwd + per-chunk splat kernels
+        "kernel_launches_per_grad": 2 * len(plan) + 1,
         "path": "fused_pallas_mxu",
         **_roofline(best, n_planes, res, tex),
     }
