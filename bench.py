@@ -82,10 +82,16 @@ def _time_grad(grad_fn, rgba):
     @jax.jit
     def bench_step(x):
         # in-graph iteration amortizes the host<->device round-trip; the
-        # 1e-30 feedback stops XLA hoisting the grad out of the loop
+        # 1e-30 feedback stops XLA hoisting the grad out of the loop.
+        # The feedback must TOUCH EVERY PLANE of the gradient: a
+        # single-element read lets XLA dead-code-eliminate the splat
+        # kernels of every chunk that element doesn't depend on (r5
+        # finding: the r3/r4 headline timings measured a partial backward
+        # — chunk 0's splat only — and overstated throughput ~1.5x).
         def body(i, acc):
             g = grad_fn(x + acc * 1e-30)
-            return acc + g.ravel()[0]
+            fb = jnp.sum(g[..., ::127, 0])  # strided probe across all planes
+            return acc + fb * 1e-30
         return jax.lax.fori_loop(0, INNER_ITERS, body, jnp.zeros((), jnp.float32))
 
     float(np.asarray(bench_step(rgba)))  # compile + sync
@@ -291,7 +297,8 @@ def run_fused_views(n_views, n_planes=N_PLANES, res=RES, tex=TEX):
         def step(rgba_v, ray_v, eye_v, z_v, cot_v):
             def body(_, acc):
                 g = grad_v(rgba_v + acc * 1e-30, ray_v, eye_v, z_v, cot_v)
-                return acc + g.ravel()[0]
+                fb = jnp.sum(g[..., ::127, 0])  # touch every plane (no DCE)
+                return acc + fb * 1e-30
             return jax.lax.fori_loop(0, INNER_ITERS, body,
                                      jnp.zeros((), jnp.float32))
 
@@ -308,38 +315,56 @@ def run_fused_views(n_views, n_planes=N_PLANES, res=RES, tex=TEX):
 
     # multi-view allclose at a scale the gather oracle fits (VERDICT r4 #3:
     # cross-view pairing bugs — cf. b02d466 — must be allclose-gated, not
-    # just banded).  Same plane count and pose SPREAD, 256² images: fused
+    # just banded).  Same plane count and pose SPREAD at 512²/512² (the
+    # fused kernel's static lane window caps the texture:image ratio at
+    # ~2x, so the 1024² textures cannot be rendered at 256²): fused
     # fwd+grad over all n_views at once vs render_mpi per view.
     allclose = None
     try:
-        from gmpi_tpu.core.renderer import render_mpi
+        from gmpi_tpu.core.renderer import render_mpi_chunked
 
-        res_s = 256
+        res_s = tex_s = 256
+        rgba_s = jax.jit(lambda k: jax.random.uniform(
+            k, (n_views, n_planes, 4, tex_s, tex_s), jnp.float32))(k1)
         intr_s = cam.intrinsics_from_fov(12.6, res_s, res_s)
         ray_s, eye_s, z_s = cam.generate_rays(intr_s, c2w)
         cot_s = jax.jit(lambda k: jax.random.normal(
             k, (n_views, 3, res_s, res_s), jnp.float32))(k2)
-        plan_s, splat_s = plan_fused(dhw, ray_s, eye_s, z_s, tex, tex)
-        fn_s = make_fused_renderer(plan_s, splat_s, tex, tex, early_out=True,
-                                   precision="bf16x3")
+        plan_s, splat_s = plan_fused(dhw, ray_s, eye_s, z_s, tex_s, tex_s)
+        fn_s = make_fused_renderer(plan_s, splat_s, tex_s, tex_s,
+                                   early_out=True, precision="bf16x3")
 
         def loss_s(x):
             color, _, _ = fn_s(x, dhw, ray_s, eye_s, z_s)
             return jnp.sum(color * cot_s), color
 
-        def loss_o(x):
-            out = render_mpi(x, dhw, ray_s, eye_s, z_s, True)
-            return jnp.sum(out.color * cot_s), out.color
+        # oracle runs PER VIEW (V=1 jits): the gather VJP's scatter temps
+        # and the banded warp's hat materialization both exceed HBM at
+        # V=4 x 96 planes in one graph; per-view chunked gather is bounded
+        def loss_o_view(x_v, ray_v, eye_v, z_v, cot_v):
+            out = render_mpi_chunked(x_v[None], dhw, ray_v[None], eye_v[None],
+                                     z_v[None], plane_chunk=8, remat=True,
+                                     with_disp=False)
+            return jnp.sum(out.color[0] * cot_v), out.color[0]
 
-        c_m = jax.jit(lambda x: loss_s(x)[1])(rgba)
-        c_o = jax.jit(lambda x: loss_o(x)[1])(rgba)
-        g_m = jax.jit(jax.grad(lambda x: loss_s(x)[0]))(rgba)
-        g_o = jax.jit(jax.grad(lambda x: loss_o(x)[0]))(rgba)
-        sc = float(jnp.max(jnp.abs(c_o)))
-        sg = float(jnp.max(jnp.abs(g_o)))
-        err_c = float(jnp.max(jnp.abs(c_m - c_o))) / max(sc, 1e-8)
-        err_g = float(jnp.max(jnp.abs(g_m - g_o))) / max(sg, 1e-8)
+        c_m = jax.jit(lambda x: loss_s(x)[1])(rgba_s)
+        g_m = jax.jit(jax.grad(lambda x: loss_s(x)[0]))(rgba_s)
+        c_o_fn = jax.jit(lambda *a: loss_o_view(*a)[1])
+        g_o_fn = jax.jit(jax.grad(lambda *a: loss_o_view(*a)[0]))
+        err_c = err_g = 0.0
+        for vi in range(n_views):
+            args_v = (rgba_s[vi], ray_s[vi], eye_s[vi], z_s[vi], cot_s[vi])
+            c_o_v = c_o_fn(*args_v)
+            g_o_v = g_o_fn(*args_v)
+            sc = float(jnp.max(jnp.abs(c_o_v)))
+            sg = float(jnp.max(jnp.abs(g_o_v)))
+            err_c = max(err_c,
+                        float(jnp.max(jnp.abs(c_m[vi] - c_o_v))) / max(sc, 1e-8))
+            err_g = max(err_g,
+                        float(jnp.max(jnp.abs(g_m[vi] - g_o_v))) / max(sg, 1e-8))
         allclose = bool(err_c < 5e-4 and err_g < 5e-4)
+        print(f"# V={n_views} {res_s}^2 gate: fwd rel {err_c:.2e} "
+              f"grad rel {err_g:.2e}", file=sys.stderr)
     except Exception as e:
         print(f"# V={n_views} allclose gate failed to run: {e!r}",
               file=sys.stderr)

@@ -573,23 +573,23 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
             sems.at[slot],
         )
 
-    # over-compositing continues from the previous (nearer) plane slab:
-    # the packed state slice of THIS strip (or fresh values for chunk 0)
+    # over-compositing continues from the previous (nearer) plane slab.
+    # The composite state lives in the packed VMEM scratch and is updated
+    # IN PLACE per plane: accumulator updates gated by ``pl.when`` compile
+    # to real branches, so dead planes skip their compute entirely.  (The
+    # r4 design carried accumulators through a value-returning ``lax.cond``
+    # — Mosaic lowers that as predicated select, BOTH branches execute, and
+    # the measured sparse fwd equalled the dense one exactly.)
     if init_state:
-        acc_rgb0 = jnp.zeros((3, r8, LANES), f32)
-        acc_d0 = jnp.zeros((r8, LANES), f32)
-        acc_p0 = jnp.zeros((r8, LANES), f32) if with_disp else None
-        acc_t0 = jnp.ones((r8, LANES), f32)
-        acc_s0 = jnp.ones((r8, LANES), f32) if grad_carry else None
-        acc_m0 = jnp.ones((r8, LANES), f32) if grad_carry else None
-    else:
-        st = sscr[0, :, pl.ds(si, 1)]           # [F, 1, R8, 128]
-        acc_rgb0 = st[0:3, 0]
-        acc_d0 = st[3, 0]
-        acc_p0 = st[4, 0] if with_disp else None
-        acc_t0 = st[idx_t, 0]
-        acc_s0 = st[idx_t + 1, 0] if grad_carry else None
-        acc_m0 = st[idx_t + 2, 0] if grad_carry else None
+        zero = jnp.zeros((r8, LANES), f32)
+        one = jnp.ones((r8, LANES), f32)
+        fields0 = [zero, zero, zero, zero]          # rgb + depth
+        if with_disp:
+            fields0.append(zero)
+        fields0.append(one)                          # trans
+        if grad_carry:
+            fields0 += [one, one]                    # S, M
+        sscr[0, :, pl.ds(si, 1)] = jnp.stack(fields0, axis=0)[:, None]
     if grad_carry:
         # S/M occlusion state carried ACROSS chunks (chunk-local state made
         # the skip useless for chunked plans: every chunk restarted S = 1,
@@ -597,7 +597,9 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
         if init_state:
             live_s[0] = 1
         else:
-            live_s[0] = jnp.where(jnp.max(acc_s0 / acc_m0) >= GRAD_TAU, 1, 0)
+            sm = sscr[0, idx_t + 1:idx_t + 3, pl.ds(si, 1)]
+            live_s[0] = jnp.where(
+                jnp.max(sm[0, 0] / sm[1, 0]) >= GRAD_TAU, 1, 0)
         # chunk-local live-plane count: L if the strip never dies here,
         # else the plane index at the live->dead transition
         live_s[1] = jnp.where(live_s[0] == 1, L, 0)
@@ -613,7 +615,9 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
             if init_state:
                 live_s[0] = 1
             else:
-                live_s[0] = jnp.where(jnp.max(acc_t0) >= 1e-6, 1, 0)
+                t_in = sscr[0, idx_t, pl.ds(si, 1)][0]
+                live_s[0] = jnp.where(jnp.max(t_in) >= 1e-6, 1, 0)
+            live_s[1] = jnp.where(live_s[0] == 1, L, 0)
 
             @pl.when(live_s[0] == 1)
             def _():
@@ -621,13 +625,16 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
         else:
             dma(0, 0).start()
 
-    def compute_plane(l, slot, accs):
-        # NOTE: ``alpha`` is also inspected by the grad-safe early-out
-        # wrapper below (acc_m update) via the returned accumulators.
-        # ``accs`` = (rgb, depth[, disp], trans) — disp present iff with_disp.
-        acc_rgb, acc_d = accs[0], accs[1]
-        acc_p = accs[2] if with_disp else None
-        acc_t = accs[-1]
+    def compute_plane(l, slot):
+        # Warp one plane and fold it into the composite state IN the scratch
+        # (rgb, depth[, disp], trans[, S, M] at sscr[0, :, si]).  Callers
+        # gate this whole function with ``pl.when(live)`` — a real branch,
+        # so dead planes skip the warp+composite entirely.
+        st_in = sscr[0, :, pl.ds(si, 1)]          # [F, 1, R8, 128]
+        acc_rgb = st_in[0:3, 0]
+        acc_d = st_in[3, 0]
+        acc_p = st_in[4, 0] if with_disp else None
+        acc_t = st_in[idx_t, 0]
         ax = scal_ref[0, l, 0]
         bx = scal_ref[0, l, 1]
         ay = scal_ref[0, l, 2]
@@ -708,17 +715,20 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
             warped_ref[0, 0, pl.ds(l, 1)] = samp_full[None]
         alpha = samp_full[3]
         wgt = alpha * acc_t
-        acc_rgb = acc_rgb + wgt[None] * samp_full[:3]
-        acc_d = acc_d + wgt * (dsc * q_full)
-        out = (acc_rgb, acc_d)
+        fields = [acc_rgb[0] + wgt * samp_full[0],
+                  acc_rgb[1] + wgt * samp_full[1],
+                  acc_rgb[2] + wgt * samp_full[2],
+                  acc_d + wgt * (dsc * q_full)]
         if with_disp:
-            out = out + (acc_p + wgt * ((1.0 / dsc) * qinv_full),)
-        acc_t = acc_t * (1.0 - alpha + eps)
-        out = out + (acc_t,)
-        # composite factor, clamped like composite_bwd's pass1 (guards the
-        # bf16x3 alpha = 1+delta interpolation overshoot)
-        one_m = jnp.maximum(1.0 - alpha, 0.0) + eps
-        return out, one_m
+            fields.append(acc_p + wgt * ((1.0 / dsc) * qinv_full))
+        fields.append(acc_t * (1.0 - alpha + eps))
+        if grad_carry:
+            # composite factor, clamped like composite_bwd's pass1 (guards
+            # the bf16x3 alpha = 1+delta interpolation overshoot)
+            one_m = jnp.maximum(1.0 - alpha, 0.0) + eps
+            fields.append(st_in[idx_t + 1, 0] * one_m)            # S
+            fields.append(jnp.minimum(st_in[idx_t + 2, 0], one_m))  # M
+        sscr[0, :, pl.ds(si, 1)] = jnp.stack(fields, axis=0)[:, None]
 
     # NOTE: dead planes' warped-residual slots are left UNWRITTEN (stale
     # VMEM / garbage in HBM).  The r4 kernel zeroed them — ~1 GB of VMEM
@@ -726,9 +736,6 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
     # per-strip live-plane count (n_live, monotone: liveness only ever
     # transitions live->dead along planes) ships to the composite backward,
     # which masks planes >= n_live instead of reading their slots.
-    accs0 = ((acc_rgb0, acc_d0) + ((acc_p0,) if with_disp else ())
-             + (acc_t0,))
-
     if early_out == "grad":
         # Grad-safe occlusion skipping.  S = T / M (M = min composite factor
         # so far) bounds EVERY gradient path out of plane l, including the
@@ -738,94 +745,100 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
         # exactly the factor S removes.  S is monotone non-increasing along
         # planes, so once a strip block is dead it stays dead: compute, the
         # VJP residual, AND the texture-band DMAs of every farther plane are
-        # skipped (zero residuals = exactly the bound's zero contribution).
-        # acc_s: transmittance from CLAMPED factors (max(1-a,0)+eps).  acc_t
-        # itself is the reference-semantics output, and XLA reassociates its
-        # (1 - a + eps) into (1+eps) - a which is exactly 0 at a=1 — making
-        # S = acc_t/acc_m collapse to 0 and wrongly killing the plane right
-        # behind a single opaque one (whose residual feeds the occluder's
-        # d_alpha at O(1)).  The clamped product can't hit that zero.
-        def plane_body(l, carry):
-            accs, acc_s, acc_m = carry
-            slot = lax.rem(l, 2)
-            # the S-check's [R8, 128] reduce + scalar extract costs ~1-2 us
-            # per plane and was a large share of the fwd floor (r4): dead
-            # strips skip it via the SMEM liveness flag, live strips
-            # re-check every 4th plane (a delayed skip is merely
-            # conservative — S is a sufficient condition, never required).
-            # The flag lives in SMEM scratch: a nested value-returning
-            # lax.cond does not lower in Mosaic ("region branch point").
-            started = live_s[0] == 1   # dma(l) was started iff this is set
+        # skipped.
+        # S: transmittance from CLAMPED factors (max(1-a,0)+eps).  The trans
+        # output itself reassociates (1 - a + eps) into (1+eps) - a which is
+        # exactly 0 at a=1 — making S = t/m collapse to 0 and wrongly
+        # killing the plane right behind a single opaque one (whose residual
+        # feeds the occluder's d_alpha at O(1)).  The clamped product can't
+        # hit that zero.
+        # Group-of-G while_loop: dead planes cost ZERO loop iterations.
+        # The r5 measurement that forced this shape: per-plane pl.when
+        # machinery costs ~2.9 us/iteration on v5e (an all-dead fwd still
+        # took 21 ms of its 28.6 dense time) — so instead of branching per
+        # plane, the loop processes G live planes straight-line, re-checks
+        # S once per group, and EXITS at the live->dead transition
+        # (liveness is monotone).
+        G = 4 if L % 4 == 0 else (2 if L % 2 == 0 else 1)
+        n_groups = L // G
 
-            @pl.when(started & (lax.rem(l, 4) == 0) & (l > 0))
-            def _():
-                alive = jnp.max(acc_s / acc_m) >= GRAD_TAU
-                live_s[0] = jnp.where(alive, 1, 0)
-                # record the transition plane for the backward's masking
-                live_s[1] = jnp.where(alive, L, l)
+        def group_cond(carry):
+            g, alive = carry
+            return (g < n_groups) & alive
 
-            live = live_s[0] == 1
+        def group_body(carry):
+            g, _ = carry
+            for j in range(G):
+                l = g * G + j
+                slot = lax.rem(l, 2)
 
-            @pl.when(live & (l + 1 < L))
-            def _():
-                dma(l + 1, lax.rem(l + 1, 2)).start()
+                @pl.when(l + 1 < L)
+                def _():
+                    dma(l + 1, lax.rem(l + 1, 2)).start()
 
-            # drain dma(l) even on the dead transition (it was started at
-            # iteration l-1): semaphores must balance for the next grid step
-            @pl.when(started)
-            def _():
                 dma(l, slot).wait()
+                compute_plane(l, slot)
+            sm = sscr[0, idx_t + 1:idx_t + 3, pl.ds(si, 1)]
+            alive = jnp.max(sm[0, 0] / sm[1, 0]) >= GRAD_TAU
 
-            def live_fn(_):
-                new_accs, one_m = compute_plane(l, slot, accs)
-                return (new_accs, acc_s * one_m,
-                        jnp.minimum(acc_m, one_m))
+            @pl.when(jnp.logical_not(alive))
+            def _():
+                live_s[0] = 0
+                # planes through the end of group g are valid/live
+                live_s[1] = G * (g + 1)
 
-            def dead_fn(_):
-                # dead planes: no compute, no residual write (n_live masks
-                # their slots in the composite backward)
-                return accs, acc_s, acc_m
+            return g + 1, alive
 
-            return lax.cond(live, live_fn, dead_fn, 0)
+        lax.while_loop(group_cond, group_body,
+                       (jnp.int32(0), live_s[0] == 1))
+        # drain the one prefetched DMA when the strip died INSIDE the loop
+        # before the last plane (entry-dead strips started nothing)
+        nl = live_s[1]
 
-        accs, acc_s, acc_m = lax.fori_loop(
-            0, L, plane_body,
-            (accs0, acc_s0, acc_m0))
-        nl_ref[0, 0] = live_s[1]
+        @pl.when((live_s[0] == 0) & (nl > 0) & (nl < L))
+        def _():
+            dma(nl, lax.rem(nl, 2)).wait()
+
+        nl_ref[vi, si] = live_s[1]
     elif early_out:
-        def plane_body(l, carry):
-            accs = carry
-            acc_t = accs[-1]
-            slot = lax.rem(l, 2)
-            started = live_s[0] == 1
+        G = 4 if L % 4 == 0 else (2 if L % 2 == 0 else 1)
+        n_groups = L // G
 
-            @pl.when(started & (lax.rem(l, 4) == 0) & (l > 0))
-            def _():
-                live_s[0] = jnp.where(jnp.max(acc_t) >= 1e-6, 1, 0)
+        def group_cond(carry):
+            g, alive = carry
+            return (g < n_groups) & alive
 
-            live = live_s[0] == 1
+        def group_body(carry):
+            g, _ = carry
+            # dead planes' warped slots are left stale (callers must not
+            # consume warped on this path — the VJP uses "grad")
+            for j in range(G):
+                l = g * G + j
+                slot = lax.rem(l, 2)
 
-            @pl.when(live & (l + 1 < L))
-            def _():
-                dma(l + 1, lax.rem(l + 1, 2)).start()
+                @pl.when(l + 1 < L)
+                def _():
+                    dma(l + 1, lax.rem(l + 1, 2)).start()
 
-            @pl.when(started)
-            def _():
                 dma(l, slot).wait()
+                compute_plane(l, slot)
+            t_now = sscr[0, idx_t, pl.ds(si, 1)][0]
+            alive = jnp.max(t_now) >= 1e-6
 
-            def live_fn(_):
-                return compute_plane(l, slot, accs)[0]
+            @pl.when(jnp.logical_not(alive))
+            def _():
+                live_s[0] = 0
+                live_s[1] = G * (g + 1)
 
-            def dead_fn(_):
-                # early_out=True is the discard-the-residual inference mode:
-                # dead planes' warped slots are left stale (callers must not
-                # consume warped on this path — the VJP uses "grad")
-                return accs
+            return g + 1, alive
 
-            return lax.cond(live, live_fn, dead_fn, 0)
+        lax.while_loop(group_cond, group_body,
+                       (jnp.int32(0), live_s[0] == 1))
+        nl = live_s[1]
 
-        accs = lax.fori_loop(0, L, plane_body, accs0)
-        acc_s = acc_m = None
+        @pl.when((live_s[0] == 0) & (nl > 0) & (nl < L))
+        def _():
+            dma(nl, lax.rem(nl, 2)).wait()
     else:
         def plane_body(l, carry):
             slot = lax.rem(l, 2)
@@ -835,20 +848,10 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
                 dma(l + 1, lax.rem(l + 1, 2)).start()
 
             dma(l, slot).wait()
+            compute_plane(l, slot)
+            return 0
 
-            return compute_plane(l, slot, carry)[0]
-
-        accs = lax.fori_loop(0, L, plane_body, accs0)
-        acc_s = acc_m = None
-
-    # pack this strip's updated state back into the scratch slot
-    fields = list(accs[0]) + [accs[1]]
-    if with_disp:
-        fields.append(accs[2])
-    fields.append(accs[-1])
-    if grad_carry:
-        fields += [acc_s, acc_m]
-    sscr[0, :, pl.ds(si, 1)] = jnp.stack(fields, axis=0)[:, None]
+        lax.fori_loop(0, L, plane_body, 0)
 
     @pl.when(si == n_strips - 1)
     def _():
@@ -954,8 +957,10 @@ def warp_composite_fwd(
                                       lambda vi, si: (vi, si, 0, 0, 0, 0)))
     if grad_carry:
         # per-strip live-plane count for the composite backward's masking
+        # (full-array resident SMEM block: Mosaic requires SMEM block shapes
+        # to equal the array dims; each step writes its own element)
         out_shape.append(jax.ShapeDtypeStruct((v, n_strips), jnp.int32))
-        out_specs.append(pl.BlockSpec((1, 1), lambda vi, si: (vi, si),
+        out_specs.append(pl.BlockSpec((v, n_strips), lambda vi, si: (0, 0),
                                       memory_space=pltpu.SMEM))
     in_specs = [
         pl.BlockSpec((1, l_planes, 6), lambda vi, si: (vi, 0, 0),
@@ -1290,10 +1295,10 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
     acc[:, acc_r - BLK:acc_r, :] = jnp.zeros((4, BLK, wp), f32)
 
 
-def _splat_plane_kernel(flags_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
-                        acc, gbuf, gsem, osem, *,
+def _splat_plane_kernel(flags_ref, *rest,
                         L, tex_h, tex_w, bands: FusedBands, wp: int,
-                        rows_pad: int, precision, lo: int, l_total: int):
+                        rows_pad: int, precision, lo: int, l_total: int,
+                        has_nl: bool = False):
     """Fat-step splat (r4 redesign): one PLANE per grid step.
 
     The block-partitioned splat (``_splat_kernel``) measured DMA/fixed-cost
@@ -1307,7 +1312,16 @@ def _splat_plane_kernel(flags_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
     across accumulators so the flush overlaps the next plane's compute.
     Same hats, bases, clamps, and matmul as ``_splat_kernel`` — the exact
     transpose of the forward warp.
+
+    ``has_nl``: per-(plane, strip) liveness comes from the fwd's n_live
+    counts as a SCALAR compare instead of ``jnp.any(g != 0)`` — the vector
+    reduce + scalar extract per subtile pair measured ~us-scale on v5e and
+    dominated live planes' overhead.
     """
+    rest = list(rest)
+    nl_ref = rest.pop(0) if has_nl else None
+    (scal_ref, rx_ref, ry_ref, g_ref, out_ref,
+     acc, gbuf, gsem, osem) = rest
     d_y = bands.d_y
     rw = STRIP + d_y
     rwp = win_rows(rw)
@@ -1396,7 +1410,14 @@ def _splat_plane_kernel(flags_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
 
         def strip_in_group(k, _k):
             n = gi * gc + k
-            for st in range(n_it):
+            # per-(plane, strip) liveness from the fwd's n_live counts: a
+            # scalar SMEM compare (the any(g != 0) vector reduce + scalar
+            # extract it replaces measured ~us-scale per subtile pair)
+            def subtiles():
+                for st in range(n_it):
+                    one_subtile(st)
+
+            def one_subtile(st):
                 rx = rx_ref[0, pl.ds(n, 1), st * subr:(st + 1) * subr][0]
                 ry = ry_ref[0, pl.ds(n, 1), st * subr:(st + 1) * subr][0]
                 fx = ax * rx + bx
@@ -1413,9 +1434,12 @@ def _splat_plane_kernel(flags_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
                 valid = (oyb >= 0) & (oyb < OUT_PAD_TOP + tex_h)
                 g = gbuf[pl.ds(gslot, 1), pl.ds(k, 1), :,
                          st * subr:(st + 1) * subr, :][0, 0]
-                # grad-sparse cotangents are exact zeros for occluded
-                # planes — skip their hats/matmul/accumulate entirely
-                live = jnp.any(g != 0.0)
+                if has_nl:
+                    live = jnp.bool_(True)  # gated at strip level below
+                else:
+                    # grad-sparse cotangents are exact zeros for occluded
+                    # planes — skip their hats/matmul/accumulate entirely
+                    live = jnp.any(g != 0.0)
 
                 @pl.when(valid & live)
                 def _():
@@ -1454,6 +1478,15 @@ def _splat_plane_kernel(flags_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
                               pl.ds(lane0, w_add)]
                     acc[pl.ds(slot, 1), :, pl.ds(row8, rwp),
                         pl.ds(lane0, w_add)] = cur + wide[None]
+
+            if has_nl:
+                # one scalar branch skips the strip's whole subtile loop
+                # (per-(plane, strip) liveness from the fwd's n_live)
+                @pl.when((lo + li) < nl_ref[vi, n])
+                def _():
+                    subtiles()
+            else:
+                subtiles()
             return 0
 
         lax.fori_loop(0, gc, strip_in_group, 0)
@@ -1486,6 +1519,7 @@ def warp_splat_fat(
     precision=lax.Precision.HIGHEST,
     lo: int = 0,
     live_flags=None,            # [V, L_total] (>0 live); None = all live
+    n_live=None,                # [V, NS] per-strip live counts (fwd n_live)
 ):
     """Fat-step warp transpose -> d_tex [V, L, 4, tex_h, tex_w].
 
@@ -1517,23 +1551,27 @@ def warp_splat_fat(
     # merge (L, 4) so one pl.ds selects a plane's 4 channels: per-strip
     # slices are then contiguous 262 KB runs
     g_flat = d_samp_flat.reshape(v, n_strips, l_total * 4, r8, LANES)
+    has_nl = n_live is not None
+    n_pref = 2 if has_nl else 1
     kernel = functools.partial(
         _splat_plane_kernel, L=l_planes, tex_h=tex_h, tex_w=tex_w,
         bands=bands, wp=wp, rows_pad=rows_pad, precision=precision,
-        lo=lo, l_total=l_total)
+        lo=lo, l_total=l_total, has_nl=has_nl)
+    pref = ([flags, n_live.astype(jnp.int32)] if has_nl else [flags])
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=n_pref,
             grid=(v, l_planes),
             in_specs=[
-                pl.BlockSpec((1, l_planes, 6), lambda vi, li, sref: (vi, 0, 0),
+                pl.BlockSpec((1, l_planes, 6),
+                             lambda vi, li, *s: (vi, 0, 0),
                              memory_space=pltpu.SMEM),
                 # rx/ry resident per view (index constant in li)
                 pl.BlockSpec((1, n_strips, r8, LANES),
-                             lambda vi, li, sref: (vi, 0, 0, 0)),
+                             lambda vi, li, *s: (vi, 0, 0, 0)),
                 pl.BlockSpec((1, n_strips, r8, LANES),
-                             lambda vi, li, sref: (vi, 0, 0, 0)),
+                             lambda vi, li, *s: (vi, 0, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),   # g_flat
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -1552,7 +1590,7 @@ def warp_splat_fat(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(flags, scal, rx_flat, ry_flat, g_flat)
+    )(*pref, scal, rx_flat, ry_flat, g_flat)
     out = out.reshape(v, l_planes, 4, tex_h, wp)
     return out[:, :, :, :, PAD:PAD + tex_w]
 
@@ -1582,6 +1620,7 @@ def warp_splat(
     precision=lax.Precision.HIGHEST,
     lo: int = 0,
     live_flags=None,
+    n_live=None,
 ):
     """Exact warp transpose -> d_tex [V, L, 4, tex_h, tex_w] (MXU splat).
 
@@ -1605,7 +1644,7 @@ def warp_splat(
             return warp_splat_fat(
                 d_samp_flat, rx_flat, ry_flat, scal, bands, tex_h, tex_w,
                 interpret=interpret, precision=precision, lo=lo,
-                live_flags=live_flags)
+                live_flags=live_flags, n_live=n_live)
     # the block-partitioned fallback operates plane-major: transpose once
     # (fallback shapes are small; the production fat path never pays this)
     d_pm = jnp.transpose(d_samp_flat, (0, 2, 3, 1, 4, 5))
@@ -2105,7 +2144,7 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
     live_ref = rest.pop(0) if with_live else None
     t_ref = rest.pop(0)
     m_ref = rest.pop(0) if rest else None
-    nl = nl_ref[0, 0] if has_nl else None
+    nl = (nl_ref[pl.program_id(0), pl.program_id(1)] if has_nl else None)
     """Per (view, pixel block): the composite backward as two in-register
     plane passes — forward transmittance products into a [L, rows, 128]
     scratch, then a back-to-front suffix accumulation emitting d_rgba.
@@ -2265,7 +2304,7 @@ def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref, gp_ref,
     gc0 = gc_ref[0, 0, 0]
     gc1 = gc_ref[0, 1, 0]
     gc2 = gc_ref[0, 2, 0]
-    nl = nl_ref[0, 0] if has_nl else None
+    nl = nl_ref[vi, si] if has_nl else None
 
     def pass1_chunk(k, carry):
         t, m = carry
@@ -2392,7 +2431,7 @@ def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
     if n_live is not None:
         assert grad_tau is not None, "n_live masking requires grad_tau"
         nl_inputs = [n_live.astype(jnp.int32)]
-        nl_specs = [pl.BlockSpec((1, 1), lambda vi, si: (vi, si),
+        nl_specs = [pl.BlockSpec((v, ns), lambda vi, si: (0, 0),
                                  memory_space=pltpu.SMEM)]
     outs = pl.pallas_call(
         kernel,
@@ -2536,7 +2575,7 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
                 field,
                 field,
                 field,
-                *([pl.BlockSpec((1, 1), lambda vi, si, ri: (vi, si),
+                *([pl.BlockSpec((v, ns), lambda vi, si, ri: (0, 0),
                                 memory_space=pltpu.SMEM)]
                   if n_live is not None else []),
             ],
@@ -2833,7 +2872,8 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
                 parts.append(warp_splat(
                     d_samp6, rxf, ryf, ry, scal[:, lo:hi],
                     bands, spl, tex_h, tex_w, interpret=interpret,
-                    precision=precision, lo=lo, live_flags=live_flags))
+                    precision=precision, lo=lo, live_flags=live_flags,
+                    n_live=n_live))
         else:
             d_samp = unflatten_pixels(
                 jnp.transpose(d_samp6, (0, 2, 3, 1, 4, 5)), h, w_img)

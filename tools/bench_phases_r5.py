@@ -33,8 +33,12 @@ def timed_ingraph(fn, x, name):
     def step(x):
         def body(i, acc):
             out = fn(x * (1.0 + acc * 1e-30))
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return acc + leaf.ravel()[0].astype(jnp.float32) * 1e-30
+            # feedback must TOUCH EVERY producer: a single-element read lets
+            # XLA dead-code-eliminate all but one chunk kernel (r5 finding —
+            # the r4 component numbers under-measured multi-chunk phases)
+            fb = sum(jnp.sum(leaf[..., ::7, 0].astype(jnp.float32))
+                     for leaf in jax.tree_util.tree_leaves(out))
+            return acc + fb * 1e-30
 
         return lax.fori_loop(0, INNER, body, jnp.zeros((), jnp.float32))
 

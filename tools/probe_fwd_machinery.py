@@ -179,12 +179,67 @@ def main():
     res_c = timeit(per_chunk(call_c), rays, state,
                    name="C resident rays + scratch state + warped")
 
+    # E/F: cost of vector-reduce -> scalar extract -> SMEM -> branch chains
+    # (the S-liveness checks the real kernel runs per step / per group)
+    def body_e(rays_ref, w_ref, smem, *, reduces, loop_iters):
+        def one_check(i):
+            x = rays_ref[0, 0, pl.ds(i % ns, 1)][0]
+            smem[0] = jnp.where(jnp.max(x) >= -1e30, 1, 0)
+
+            @pl.when(smem[0] == 1)
+            def _():
+                smem[1] = i
+
+        for i in range(reduces):
+            one_check(i)
+        if loop_iters:
+            def lbody(l, c):
+                one_check(l)
+
+                @pl.when(smem[0] == 1)
+                def _():
+                    w_ref[0, 0, pl.ds(l % lc, 1)] = jnp.zeros(
+                        (1, 4, r8, LANES), f32)
+                return c
+            lax.fori_loop(0, loop_iters, lbody, 0)
+        else:
+            w_ref[...] = jnp.zeros_like(w_ref)
+
+    def call_e(reduces=3, loop_iters=0):
+        kern = functools.partial(body_e, reduces=reduces,
+                                 loop_iters=loop_iters)
+        def fn(rays_a, _):
+            return pl.pallas_call(
+                kern,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=0, grid=(v, ns),
+                    in_specs=[pl.BlockSpec((1, 3, ns, r8, LANES),
+                                           lambda vi, si: (vi, 0, 0, 0, 0))],
+                    out_specs=wspec,
+                    scratch_shapes=[pltpu.SMEM((2,), jnp.int32)]),
+                out_shape=wshape,
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary", "arbitrary"),
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(rays_a)
+        return fn
+
+    res_e0 = timeit(per_chunk(call_e(reduces=0)), rays, state,
+                    name="E0 resident+warped only")
+    res_e3 = timeit(per_chunk(call_e(reduces=3)), rays, state,
+                    name="E3 + 3 reduce->SMEM->when per step")
+    res_f = timeit(per_chunk(call_e(reduces=0, loop_iters=lc)), rays, state,
+                   name=f"F + {lc}-iter loop w/ reduce+when each")
+
     print(json.dumps({
         "res": res, "chunks": args.chunks,
         "A_full_blocks_ms": round(res_a * 1000, 2),
         "B_no_warped_ms": round(res_b * 1000, 2),
         "C_resident_ms": round(res_c * 1000, 2),
         "D_with_zeroloop_ms": round(res_d * 1000, 2),
+        "E0_ms": round(res_e0 * 1000, 2),
+        "E3_ms": round(res_e3 * 1000, 2),
+        "F_loop_reduce_ms": round(res_f * 1000, 2),
     }))
 
 
