@@ -125,6 +125,20 @@ def main():
         jax.block_until_ready((state, metrics))
         times.append(time.perf_counter() - t0)
 
+    # authoritative stat: N steps between HARD host syncs (a scalar fetch).
+    # Through the remote tunnel, block_until_ready alone can return while
+    # the device still runs ahead (r5: a 512-square GAN step "measured"
+    # 26 ms that way) — the wall/N below cannot lie, and one fetch
+    # amortizes the tunnel round-trip over all N steps.
+    float(np.asarray(metrics["d_loss"]))
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step_fn(state, real, pose,
+                                 jax.random.fold_in(jax.random.key(3), i))
+    synced_total = None
+    float(np.asarray(metrics["d_loss"]))
+    synced_total = time.perf_counter() - t0
+
     metrics_f = {k: float(v) for k, v in metrics.items()}
     finite = all(np.isfinite(v) for v in metrics_f.values())
     out = {
@@ -137,14 +151,22 @@ def main():
         "worst_view_res": args.worst_view_res or res,
         "select_worst_view": not args.no_worst_view,
         "fused_renderer": args.fused,
+        # effective renderer path: use_fused_renderer=None auto-selects the
+        # fused Pallas kernel on TPU (the CLI flag only FORCES it)
+        "fused_effective": bool(tr.use_fused_renderer
+                                if tr.use_fused_renderer is not None
+                                else dev.platform == "tpu"),
         "init_s": round(t_init, 2),
         "first_step_s_incl_compile": round(t_compile, 2),
         "step_s_median": round(float(np.median(times)), 4),
         "step_s_p10": round(float(np.percentile(times, 10)), 4),
         "step_s_p90": round(float(np.percentile(times, 90)), 4),
         "step_s_min": round(float(np.min(times)), 4),
-        "imgs_per_s": round(args.batch / float(np.median(times)), 3),
-        "imgs_per_s_best": round(args.batch / float(np.min(times)), 3),
+        # wall/N between hard syncs — the authoritative step time
+        "step_s_synced": round(synced_total / args.steps, 4),
+        "imgs_per_s": round(args.batch / (synced_total / args.steps), 3),
+        "imgs_per_s_dispatch_median": round(
+            args.batch / float(np.median(times)), 3),
         "hbm_peak_gib": round(hbm_peak() / 2**30, 2),
         **mem,
         "steps": args.steps,
