@@ -85,7 +85,11 @@ def main():
         for _ in range(iters):
             t0 = time.perf_counter()
             r = fn(*a)
-            float(np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[0]))
+            # full-tree sync (a single-element read lets XLA DCE whole
+            # pallas calls upstream — r5 finding)
+            jax.block_until_ready(r)
+            float(np.asarray(sum(jnp.sum(l[..., 0].astype(jnp.float32))
+                                 for l in jax.tree_util.tree_leaves(r))))
             ts.append(time.perf_counter() - t0)
         best = min(ts)
         print(f"{name:<28} {best * 1000:8.1f} ms")
