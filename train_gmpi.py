@@ -40,6 +40,13 @@ def main():
                         "auto — fused on accelerators, portable on CPU)")
     p.add_argument("--no_fused_renderer", action="store_true",
                    help="force the portable tiled/gather render path")
+    p.add_argument("--renderer_plane_shards", type=int, default=0,
+                   help="shard the renderer's plane axis over this many "
+                        "local chips (the FFHQ1024 memory axis; params and "
+                        "batch replicate, see docs/TPU_TRAIN.md)")
+    p.add_argument("--renderer_tile_shards", type=int, default=0,
+                   help="additionally shard output pixel rows over this "
+                        "many chips (plane x tile mesh)")
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (multi-host pod slice)")
@@ -60,12 +67,19 @@ def main():
     if args.dataset not in PRESETS:
         p.error(f"--dataset must be one of {sorted(PRESETS)}")
     cfg = get_config(args.dataset)
-    if args.fused_renderer or args.no_fused_renderer:
+    if (args.fused_renderer or args.no_fused_renderer
+            or args.renderer_plane_shards or args.renderer_tile_shards):
         import dataclasses
 
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(
-                cfg.train, use_fused_renderer=bool(args.fused_renderer)))
+        tr = cfg.train
+        if args.fused_renderer or args.no_fused_renderer:
+            tr = dataclasses.replace(
+                tr, use_fused_renderer=bool(args.fused_renderer))
+        if args.renderer_plane_shards or args.renderer_tile_shards:
+            tr = dataclasses.replace(
+                tr, renderer_plane_shards=args.renderer_plane_shards,
+                renderer_tile_shards=args.renderer_tile_shards)
+        cfg = dataclasses.replace(cfg, train=tr)
     dataset_name = "FFHQ" if args.dataset.startswith("FFHQ") else args.dataset
     dataset = get_dataset(
         dataset_name,
