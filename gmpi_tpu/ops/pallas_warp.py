@@ -76,6 +76,10 @@ WIN_SUB = 384      # static texture-lane window per subtile before rebasing
 _FORCE_TRIM = None  # perf-probe override of warp_splat's trim auto-detect
 _SPLAT_BACKEND = None  # None=auto, "fat", "classic" (perf probes/tests)
 _COMP_BACKEND = None   # None=auto, "fat", "block" (perf probes/tests)
+# perf-probe ONLY (results are wrong): ablate parts of the fat splat's
+# inner loop to locate its cost.  None | "no_dot" | "no_acc" | "no_roll" |
+# "no_hatx" | "no_haty" | "dot_f32"
+_SPLAT_ABLATE = None
 
 
 def _gc_strips(ns_total: int) -> int:
@@ -465,6 +469,52 @@ def unflatten_pixels(y, h, w):
     return x.reshape(*lead, h, w)
 
 
+def subtile_base_mins(scal, rx_flat, ry_flat):
+    """Per-(plane, strip, 8-row subtile) masked coordinate minima.
+
+    Returns ``(mx, my) [V, L, NS, n_sub]`` f32.  The fused kernels derive
+    their scalar window bases as ``floor(min) - 1`` of exactly these minima;
+    computing them OUTSIDE the kernel (one fused XLA broadcast+reduce over
+    tiny outputs) removes the per-subtile vector-reduce -> scalar-extract
+    chains that dominate per-step machinery on v5e (~us-scale each).  Exact:
+    ``min`` is order-insensitive and the escape masking ``where(f < -1.0,
+    1e9, f)`` matches the in-kernel ops bit for bit; paired-subtile bases
+    are elementwise mins of adjacent subtiles, and strip-level bases (the
+    fwd DMA row) are mins over the subtile axis.
+    """
+    v, ns, r8, _ = rx_flat.shape
+    n_sub = r8 // 8
+    f32 = jnp.float32
+    rx4 = rx_flat.reshape(v, 1, ns, n_sub, 8, LANES)
+    ry4 = ry_flat.reshape(v, 1, ns, n_sub, 8, LANES)
+    ax = scal[:, :, 0][:, :, None, None, None, None]
+    bx = scal[:, :, 1][:, :, None, None, None, None]
+    ay = scal[:, :, 2][:, :, None, None, None, None]
+    by = scal[:, :, 3][:, :, None, None, None, None]
+    i8 = (lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+          + 8 * (lax.broadcasted_iota(jnp.int32, (8, LANES), 1) // SUBW)
+          ).astype(f32)
+    fx = ax * rx4 + bx
+    fy = ay * ry4 + by
+    mx = jnp.min(jnp.where(fx < -1.0, 1e9, fx), axis=(-2, -1))
+    my = jnp.min(jnp.where(fy < -1.0, 1e9, fy) - i8, axis=(-2, -1))
+    return mx, my
+
+
+def bases_from_mins(mx, my, pair: bool):
+    """Integer window bases (cx, ryb) [V, L, NS, n_it] from subtile minima.
+
+    Matches the in-kernel chain ``floor(min).astype(int32) - 1`` (any
+    clipping stays in the kernel — it is band-config-dependent and scalar).
+    """
+    if pair:
+        mx = jnp.minimum(mx[..., 0::2], mx[..., 1::2])
+        my = jnp.minimum(my[..., 0::2], my[..., 1::2])
+    cx = jnp.floor(mx).astype(jnp.int32) - 1
+    ryb = jnp.floor(my).astype(jnp.int32) - 1
+    return cx, ryb
+
+
 def _fwd_kernel(scal_ref, rays_ref, *rest,
                 L, tex_h, tex_w, pad_bot: int,
                 bands: FusedBands, early_out: bool, eps: float,
@@ -492,10 +542,13 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
     scratch with a single manual DMA in/out per view, and the only
     per-step block left is the warped-residual flush.
     """
-    # positional: scal (SMEM), rays (resident block) | [state_in (ANY)]
-    # | tex (ANY) | state_out (ANY), [warped (block)], [nl (SMEM block,
-    # grad_carry)] | sscr, buf, sems, ssem, live_s
+    # positional: scal (SMEM), rays (resident block), y0/cx/ryb (SMEM
+    # bases) | [state_in (ANY)] | tex (ANY) | state_out (ANY), [warped
+    # (block)], [nl (SMEM block, grad_carry)] | sscr, buf, sems, ssem,
+    # live_s
     rest = list(rest)
+    y0_ref, cxb_ref, rybb_ref = rest[:3]
+    rest = rest[3:]
     state_in_any = None if init_state else rest.pop(0)
     tex_ref = rest.pop(0)
     state_out_any = rest.pop(0)
@@ -540,28 +593,13 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
     # (1/dsc) * (1/q) so the per-pixel reciprocal happens once per strip
     qinv_full = 1.0 / q_full if with_disp else None
 
-    # flat-layout pixel-row index fields (i = 8*(lane//SUBW) + row%8)
-    sub_i = lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-    lane8 = lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-    i_blk = (sub_i + 8 * (lane8 // SUBW)).astype(f32)
-    row_f = lax.broadcasted_iota(jnp.int32, (r8, LANES), 0)
-    lane_f = lax.broadcasted_iota(jnp.int32, (r8, LANES), 1)
-    i_full = (lax.rem(row_f, 8) + 8 * (lane_f // SUBW)).astype(f32)
-
     iota_x = lax.broadcasted_iota(jnp.int32, (b_xp, 8, LANES), 0).astype(f32)
     iota_r = lax.broadcasted_iota(jnp.int32, (rwp, 8, LANES), 0).astype(f32)
 
     def y_lo_aligned(l):
-        """Texture-row DMA start (padded coords, 8-aligned) for plane l,
-        from the diagonal min ``floor(min(fy - i)) - 1`` so per-subtile
-        window bases are never below the strip band."""
-        ay = scal_ref[0, l, 2]
-        by = scal_ref[0, l, 3]
-        fy = ay * ry_full + by
-        fy_m = jnp.where(fy < -1.0, 1e9, fy) - i_full
-        y_exact = jnp.floor(jnp.min(fy_m)).astype(jnp.int32) - 1  # texel coords
-        y0 = jnp.clip(y_exact + PADY_TOP, 0, tex_h + PADY_TOP + pad_bot - by_pad)
-        return pl.multiple_of((y0 // 8) * 8, 8)
+        """Texture-row DMA start (padded coords, 8-aligned) for plane l —
+        precomputed outside the kernel (see subtile_base_mins)."""
+        return pl.multiple_of(y0_ref[0, l, si], 8)
 
     def dma(l, slot):
         # lo/l_total: the texture stack holds ALL planes (chunked callers
@@ -648,14 +686,13 @@ def _fwd_kernel(scal_ref, rays_ref, *rest,
             rs = slice(st * 8, st * 8 + 8)
             fx = ax * rx_full[rs] + bx         # [8, 128] subtile pixels
             fy = ay * ry_full[rs] + by
-            fx_m = jnp.where(fx < -1.0, 1e9, fx)
-            fy_m = jnp.where(fy < -1.0, 1e9, fy)
             # absolute texel-column base; clamping keeps the window in the
             # padded texture — clamped-away taps are all zero-pad texels
-            # (their hats vs the clamped base vanish or hit zeros)
-            cx = jnp.floor(jnp.min(fx_m)).astype(jnp.int32) - 1
-            cx = jnp.clip(cx, -2, wp - PAD - b_xp)
-            ryb = jnp.floor(jnp.min(fy_m - i_blk)).astype(jnp.int32) - 1
+            # (their hats vs the clamped base vanish or hit zeros).
+            # Bases precomputed outside (subtile_base_mins): no per-subtile
+            # vector-min -> scalar-extract in the hot loop.
+            cx = jnp.clip(cxb_ref[0, l, si, st], -2, wp - PAD - b_xp)
+            ryb = rybb_ref[0, l, si, st]
             ry2 = jnp.clip(ryb + PADY_TOP - y0, 0, by_pad - rwp)
             base8 = (ry2 // 8) * 8   # taps live at rows [ry2-base8, +rw) < rwp
             row0 = pl.multiple_of(slot * by_pad + base8, 8)
@@ -945,6 +982,15 @@ def warp_composite_fwd(
 
     grid = (v, n_strips)
     rays = jnp.stack([rx, ry, q], axis=1)  # [V, 3, NS, R8, 128]
+    # scalar window bases precomputed outside (see subtile_base_mins): the
+    # in-kernel per-subtile vector-min -> scalar-extract chains (2/subtile
+    # + 1 full-strip min per plane DMA) were first-order per-step machinery
+    mx, my = subtile_base_mins(scal, rx, ry)
+    cx_b, ryb_b = bases_from_mins(mx, my, pair=False)
+    y_exact = jnp.floor(jnp.min(my, axis=-1)).astype(jnp.int32) - 1
+    y0_b = jnp.clip(y_exact + PADY_TOP, 0,
+                    tex_h + PADY_TOP + pad_bot - bands.by_pad)
+    y0_b = (y0_b // 8) * 8                     # [V, L, NS] 8-aligned
     state_shape = jax.ShapeDtypeStruct(
         (v, n_fields, n_strips, r8, LANES), jnp.float32)
     out_shape = [state_shape]
@@ -962,14 +1008,25 @@ def warp_composite_fwd(
         out_shape.append(jax.ShapeDtypeStruct((v, n_strips), jnp.int32))
         out_specs.append(pl.BlockSpec((v, n_strips), lambda vi, si: (0, 0),
                                       memory_space=pltpu.SMEM))
+    n_sub = r8 // 8
     in_specs = [
         pl.BlockSpec((1, l_planes, 6), lambda vi, si: (vi, 0, 0),
                      memory_space=pltpu.SMEM),
         # per-view resident ray fields: ONE block copy per view
         pl.BlockSpec((1, 3, n_strips, r8, LANES),
                      lambda vi, si: (vi, 0, 0, 0, 0)),
+        # per-(plane, strip[, subtile]) scalar window bases, resident per
+        # view (SMEM block last-two dims must equal the array dims)
+        pl.BlockSpec((1, l_planes, n_strips), lambda vi, si: (vi, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, l_planes, n_strips, n_sub),
+                     lambda vi, si: (vi, 0, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, l_planes, n_strips, n_sub),
+                     lambda vi, si: (vi, 0, 0, 0),
+                     memory_space=pltpu.SMEM),
     ]
-    inputs = [scal, rays]
+    inputs = [scal, rays, y0_b, cx_b, ryb_b]
     if state_in is not None:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         inputs.append(state_in)
@@ -1298,7 +1355,10 @@ def _splat_kernel(ps_ref, scal_ref, rx_ref, ry_ref, g_ref, out_ref,
 def _splat_plane_kernel(flags_ref, *rest,
                         L, tex_h, tex_w, bands: FusedBands, wp: int,
                         rows_pad: int, precision, lo: int, l_total: int,
-                        has_nl: bool = False):
+                        has_nl: bool = False, has_bases: bool = False,
+                        pad_l: int = PAD, exact_out: bool = False,
+                        n_out: int | None = None, out_lo: int = 0,
+                        has_alias: bool = False):
     """Fat-step splat (r4 redesign): one PLANE per grid step.
 
     The block-partitioned splat (``_splat_kernel``) measured DMA/fixed-cost
@@ -1320,8 +1380,17 @@ def _splat_plane_kernel(flags_ref, *rest,
     """
     rest = list(rest)
     nl_ref = rest.pop(0) if has_nl else None
-    (scal_ref, rx_ref, ry_ref, g_ref, out_ref,
-     acc, gbuf, gsem, osem) = rest
+    scal_ref, rx_ref, ry_ref = rest[:3]
+    rest = rest[3:]
+    cx_ref = ryb_ref = None
+    if has_bases:
+        cx_ref, ryb_ref = rest[:2]
+        rest = rest[2:]
+    if has_alias:
+        rest.pop(0)   # aliased output buffer rides in as an unread input
+    (g_ref, out_ref, acc, gbuf, gsem, osem) = rest
+    if n_out is None:
+        n_out = L
     d_y = bands.d_y
     rw = STRIP + d_y
     rwp = win_rows(rw)
@@ -1372,10 +1441,16 @@ def _splat_plane_kernel(flags_ref, *rest,
     def flush(s, oslot):
         vi_s = s // L
         li_s = lax.rem(s, L)
-        return pltpu.make_async_copy(
-            acc.at[pl.ds(oslot, 1), :, pl.ds(OUT_PAD_TOP, tex_h), :],
-            out_ref.at[pl.ds(vi_s * L + li_s, 1)],
-            osem.at[oslot])
+        dst = out_ref.at[pl.ds(vi_s * n_out + out_lo + li_s, 1)]
+        if exact_out:
+            # lane-aligned depad straight out of the flush DMA (pad_l is a
+            # multiple of 128): the gradient leaves exactly [4, Th, Tw] —
+            # no XLA depad slice over the whole stack afterwards
+            src = acc.at[pl.ds(oslot, 1), :, pl.ds(OUT_PAD_TOP, tex_h),
+                         pl.ds(pad_l, tex_w)]
+        else:
+            src = acc.at[pl.ds(oslot, 1), :, pl.ds(OUT_PAD_TOP, tex_h), :]
+        return pltpu.make_async_copy(src, dst, osem.at[oslot])
 
     # per-plane liveness (composite_bwd's grad-tau bitmap): a dead plane's
     # cotangent is exact zeros — skip its whole DMA stream + strip loop and
@@ -1422,11 +1497,18 @@ def _splat_plane_kernel(flags_ref, *rest,
                 ry = ry_ref[0, pl.ds(n, 1), st * subr:(st + 1) * subr][0]
                 fx = ax * rx + bx
                 fy = ay * ry + by
-                fx_m = jnp.where(fx < -1.0, 1e9, fx)
-                fy_m = jnp.where(fy < -1.0, 1e9, fy)
-                cx = jnp.floor(jnp.min(fx_m)).astype(jnp.int32) - 1
-                cx = jnp.clip(cx, -2, wp - PAD - b_xe)
-                ryb = jnp.floor(jnp.min(fy_m - i_blk)).astype(jnp.int32) - 1
+                if has_bases:
+                    # precomputed outside (subtile_base_mins): removes the
+                    # two vector-min -> scalar-extract chains per subtile
+                    cx = jnp.clip(cx_ref[0, 0, n, st], -2, wp - pad_l - b_xe)
+                    ryb = ryb_ref[0, 0, n, st]
+                else:
+                    fx_m = jnp.where(fx < -1.0, 1e9, fx)
+                    fy_m = jnp.where(fy < -1.0, 1e9, fy)
+                    cx = jnp.floor(jnp.min(fx_m)).astype(jnp.int32) - 1
+                    cx = jnp.clip(cx, -2, wp - pad_l - b_xe)
+                    ryb = jnp.floor(
+                        jnp.min(fy_m - i_blk)).astype(jnp.int32) - 1
                 oyb = ryb + OUT_PAD_TOP
                 # absolute-row validity replaces the block-ownership test: a
                 # strip whose window is entirely in the sliced-off pad (or
@@ -1444,40 +1526,57 @@ def _splat_plane_kernel(flags_ref, *rest,
                 @pl.when(valid & live)
                 def _():
                     fx_rel = jnp.where(fx < -1.0, -1e9, fx - cx.astype(f32))
-                    hat_x = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(fx_rel[None] - iota_x))
+                    if _SPLAT_ABLATE == "no_hatx":
+                        hat_x = jnp.zeros((b_xe, subr, LANES), f32) + 0.5
+                    else:
+                        hat_x = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(fx_rel[None] - iota_x))
                     row8 = (oyb // 8) * 8   # 8-aligned absolute acc row
                     rem = oyb - row8
                     fy_rel = fy - ryb.astype(f32) + rem.astype(f32)
-                    hat_y = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(fy_rel[None] - iota_r))
-                    t_parts = [hat_y * g[c][None] for c in range(4)]
-                    t_all = jnp.concatenate(t_parts, axis=0)
-                    if precision == "bf16x3":
+                    if _SPLAT_ABLATE == "no_haty":
+                        t_all = jnp.zeros((4 * rwp, subr, LANES), f32) + 0.5
+                    else:
+                        hat_y = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(fy_rel[None] - iota_r))
+                        t_parts = [hat_y * g[c][None] for c in range(4)]
+                        t_all = jnp.concatenate(t_parts, axis=0)
+                    if _SPLAT_ABLATE == "no_dot":
+                        # kills the dot + operand reshapes (hat_x may DCE)
+                        d_win = t_all[:, 0, :b_xe]
+                    elif (precision == "bf16x3"
+                          and _SPLAT_ABLATE != "dot_f32"):
                         d_win = _dot_bf16x3(
                             t_all.reshape(4 * rwp, subr * LANES),
                             hat_x.reshape(b_xe, subr * LANES),
                             (((1,), (1,)), ((), ())))
                     else:
+                        prec = (lax.Precision.HIGHEST
+                                if precision == "bf16x3" else precision)
                         d_win = lax.dot_general(
                             t_all.reshape(4 * rwp, subr * LANES),
                             hat_x.reshape(b_xe, subr * LANES),
                             (((1,), (1,)), ((), ())),
-                            precision=precision,
+                            precision=prec,
                             preferred_element_type=f32)       # [4*rwp, b_xe]
                     d_win = d_win.reshape(4, rwp, b_xe)
-                    cxp = cx + PAD
+                    cxp = cx + pad_l
                     lane0 = jnp.clip(((cxp - 64) // 128) * 128, 0, wp - w_add)
                     lane0 = pl.multiple_of(lane0, 128)
                     lr = cxp - lane0
                     wide = jnp.concatenate(
                         [d_win, jnp.zeros((4, rwp, w_add - b_xe), f32)],
                         axis=2)
-                    wide = pltpu.roll(wide, lr, 2)
-                    cur = acc[pl.ds(slot, 1), :, pl.ds(row8, rwp),
-                              pl.ds(lane0, w_add)]
-                    acc[pl.ds(slot, 1), :, pl.ds(row8, rwp),
-                        pl.ds(lane0, w_add)] = cur + wide[None]
+                    if _SPLAT_ABLATE != "no_roll":
+                        wide = pltpu.roll(wide, lr, 2)
+                    if _SPLAT_ABLATE == "no_acc":
+                        acc[pl.ds(slot, 1), :, pl.ds(row8, rwp),
+                            pl.ds(lane0, w_add)] = wide[None]
+                    else:
+                        cur = acc[pl.ds(slot, 1), :, pl.ds(row8, rwp),
+                                  pl.ds(lane0, w_add)]
+                        acc[pl.ds(slot, 1), :, pl.ds(row8, rwp),
+                            pl.ds(lane0, w_add)] = cur + wide[None]
 
             if has_nl:
                 # one scalar branch skips the strip's whole subtile loop
@@ -1520,20 +1619,43 @@ def warp_splat_fat(
     lo: int = 0,
     live_flags=None,            # [V, L_total] (>0 live); None = all live
     n_live=None,                # [V, NS] per-strip live counts (fwd n_live)
+    out_buf=None,               # [V, L_total, 4, Th, Tw]: write this chunk's
+                                # planes in place (input_output_alias chain)
+    full_out: bool = False,     # full-stack out even without out_buf (the
+                                # chain's first link; other planes garbage
+                                # until their chunks write them)
 ):
     """Fat-step warp transpose -> d_tex [V, L, 4, tex_h, tex_w].
 
     See :func:`_splat_plane_kernel`.  Requires the full-texture accumulator
     pair + resident rx/ry to fit VMEM (callers gate on
     :func:`splat_fat_fits`); no splat plan needed.
+
+    For lane-aligned textures the accumulator carries a 128-lane left pad so
+    the per-plane flush DMA emits the EXACT unpadded gradient — no XLA depad
+    slice over the stack.  With ``out_buf`` the call writes its chunk's
+    planes into the given full-stack buffer in place (``input_output_aliases``)
+    and returns the full stack: chunked callers chain these instead of
+    concatenating per-chunk outputs (a ~2x stack copy at 96x1024^2).
     """
     v, l_total = d_samp_flat.shape[0], d_samp_flat.shape[2]
     l_planes = scal.shape[1]
     assert lo + l_planes <= l_total, (lo, l_planes, l_total)
     n_strips, r8 = rx_flat.shape[1], rx_flat.shape[2]
-    wp = ((tex_w + 2 * PAD + 127) // 128) * 128
-    if wp < 512:
-        wp = 1 << (wp - 1).bit_length()
+    exact_out = tex_w % LANES == 0
+    if exact_out:
+        pad_l = 128
+        wp = pad_l + tex_w + 128
+    else:
+        pad_l = PAD
+        wp = ((tex_w + 2 * PAD + 127) // 128) * 128
+        if wp < 512:
+            wp = 1 << (wp - 1).bit_length()
+    assert (out_buf is None and not full_out) or exact_out, (
+        "alias chain needs exact-out shapes")
+    full_out = full_out or out_buf is not None
+    n_out = l_total if full_out else l_planes
+    out_lo = lo if full_out else 0
     rows_pad = OUT_PAD_TOP + tex_h + OUT_PAD_BOT
     # y-window bound: the accumulate slices acc[:, row8:row8+rwp] with row8
     # up to OUT_PAD_TOP+tex_h-8, so rwp must fit the bottom pad — otherwise
@@ -1553,27 +1675,52 @@ def warp_splat_fat(
     g_flat = d_samp_flat.reshape(v, n_strips, l_total * 4, r8, LANES)
     has_nl = n_live is not None
     n_pref = 2 if has_nl else 1
+    # window bases precomputed outside the kernel (see subtile_base_mins)
+    n_sub = r8 // 8
+    pair = bands.b_x2 > 0 and n_sub % 2 == 0
+    n_it = n_sub // 2 if pair else n_sub
+    mx, my = subtile_base_mins(scal, rx_flat, ry_flat)
+    cx_b, ryb_b = bases_from_mins(mx, my, pair)
     kernel = functools.partial(
         _splat_plane_kernel, L=l_planes, tex_h=tex_h, tex_w=tex_w,
         bands=bands, wp=wp, rows_pad=rows_pad, precision=precision,
-        lo=lo, l_total=l_total, has_nl=has_nl)
+        lo=lo, l_total=l_total, has_nl=has_nl, has_bases=True,
+        pad_l=pad_l, exact_out=exact_out, n_out=n_out, out_lo=out_lo,
+        has_alias=out_buf is not None)
     pref = ([flags, n_live.astype(jnp.int32)] if has_nl else [flags])
+    in_specs = [
+        pl.BlockSpec((1, l_planes, 6),
+                     lambda vi, li, *s: (vi, 0, 0),
+                     memory_space=pltpu.SMEM),
+        # rx/ry resident per view (index constant in li)
+        pl.BlockSpec((1, n_strips, r8, LANES),
+                     lambda vi, li, *s: (vi, 0, 0, 0)),
+        pl.BlockSpec((1, n_strips, r8, LANES),
+                     lambda vi, li, *s: (vi, 0, 0, 0)),
+        pl.BlockSpec((1, 1, n_strips, n_it),
+                     lambda vi, li, *s: (vi, li, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, n_strips, n_it),
+                     lambda vi, li, *s: (vi, li, 0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    inputs = [scal, rx_flat, ry_flat, cx_b, ryb_b]
+    io_alias = {}
+    has_alias = out_buf is not None
+    if has_alias:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inputs.append(out_buf.reshape(v * l_total, 4, tex_h, tex_w))
+        # alias index counts the scalar-prefetch operands first
+        io_alias = {n_pref + len(inputs) - 1: 0}
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # g_flat
+    inputs.append(g_flat)
+    out_w = tex_w if exact_out else wp
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_pref,
             grid=(v, l_planes),
-            in_specs=[
-                pl.BlockSpec((1, l_planes, 6),
-                             lambda vi, li, *s: (vi, 0, 0),
-                             memory_space=pltpu.SMEM),
-                # rx/ry resident per view (index constant in li)
-                pl.BlockSpec((1, n_strips, r8, LANES),
-                             lambda vi, li, *s: (vi, 0, 0, 0)),
-                pl.BlockSpec((1, n_strips, r8, LANES),
-                             lambda vi, li, *s: (vi, 0, 0, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),   # g_flat
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, 4, rows_pad, wp), jnp.float32),
@@ -1584,22 +1731,28 @@ def warp_splat_fat(
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (v * l_planes, 4, tex_h, wp), jnp.float32),
+            (v * n_out, 4, tex_h, out_w), jnp.float32),
         interpret=interpret,
+        input_output_aliases=io_alias,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(*pref, scal, rx_flat, ry_flat, g_flat)
-    out = out.reshape(v, l_planes, 4, tex_h, wp)
+    )(*pref, *inputs)
+    out = out.reshape(v, n_out, 4, tex_h, out_w)
+    if exact_out:
+        return out
     return out[:, :, :, :, PAD:PAD + tex_w]
 
 
 def splat_fat_fits(tex_h: int, tex_w: int, n_strips: int, r8: int) -> bool:
     """True when the fat-step splat's VMEM working set fits the budget."""
-    wp = ((tex_w + 2 * PAD + 127) // 128) * 128
-    if wp < 512:
-        wp = 1 << (wp - 1).bit_length()
+    if tex_w % LANES == 0:
+        wp = 128 + tex_w + 128        # exact-out geometry (128-lane pads)
+    else:
+        wp = ((tex_w + 2 * PAD + 127) // 128) * 128
+        if wp < 512:
+            wp = 1 << (wp - 1).bit_length()
     rows_pad = OUT_PAD_TOP + tex_h + OUT_PAD_BOT
     acc = 2 * 4 * rows_pad * wp * 4
     resident = 2 * 2 * n_strips * r8 * LANES * 4   # rx+ry, double-buffered
@@ -1621,6 +1774,8 @@ def warp_splat(
     lo: int = 0,
     live_flags=None,
     n_live=None,
+    out_buf=None,
+    full_out: bool = False,
 ):
     """Exact warp transpose -> d_tex [V, L, 4, tex_h, tex_w] (MXU splat).
 
@@ -1644,7 +1799,10 @@ def warp_splat(
             return warp_splat_fat(
                 d_samp_flat, rx_flat, ry_flat, scal, bands, tex_h, tex_w,
                 interpret=interpret, precision=precision, lo=lo,
-                live_flags=live_flags, n_live=n_live)
+                live_flags=live_flags, n_live=n_live, out_buf=out_buf,
+                full_out=full_out)
+    assert out_buf is None and not full_out, (
+        "alias-chained splat requires the fat kernel")
     # the block-partitioned fallback operates plane-major: transpose once
     # (fallback shapes are small; the production fat path never pays this)
     d_pm = jnp.transpose(d_samp_flat, (0, 2, 3, 1, 4, 5))
@@ -2249,7 +2407,8 @@ def _composite_bwd_kernel(scal_ref, warped_ref, q_ref, gc_ref, gd_ref, gt_ref,
 def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref, gp_ref,
                               *rest,
                               L, eps, has_gd, has_gt, has_gp, grad_tau,
-                              with_live, n_chunks, chunk_l4, has_nl=False):
+                              with_live, part_l4s, sub_l4=None,
+                              has_nl=False):
     """Fat composite backward: one STRIP per grid step (r4, strip-major).
 
     The block-partitioned version's [.., L, 4, .., br, 128] blocks are
@@ -2268,7 +2427,9 @@ def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref, gp_ref,
     """
     rest = list(rest)
     nl_ref = rest.pop(0) if has_nl else None
-    (warped_any, out_any, live_ref,
+    n_parts = len(part_l4s)
+    warped_refs = [rest.pop(0) for _ in range(n_parts)]
+    (out_any, live_ref,
      wstack, dstack, t_ref, m_ref, isem, osem) = rest
     f32 = jnp.float32
     vi = pl.program_id(0)
@@ -2277,18 +2438,37 @@ def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref, gp_ref,
     step = vi * ns_total + si
     total = pl.num_programs(0) * ns_total
     rows = wstack.shape[2]
+    offs = []
+    o = 0
+    for p in part_l4s:
+        offs.append(o)
+        o += p
 
-    # warped_any / out_any are flat [(V*NS), L*4, R8, 128]
-    def dma_in(k):
-        return pltpu.make_async_copy(
-            warped_any.at[pl.ds(step, 1), pl.ds(k * chunk_l4, chunk_l4)],
-            wstack.at[:, pl.ds(k * chunk_l4, chunk_l4)],
-            isem.at[lax.rem(k, 2)])
+    # warped parts / out_any are flat [(V*NS), L_k*4, R8, 128]: the fused
+    # fwd's per-chunk residuals stream STRAIGHT from their own arrays into
+    # the right wstack offsets — no XLA plane-axis concat of the residual
+    # stack between fwd and backward (a ~2x 1.6 GB copy at 96x1024^2).
+    # Single-stack callers instead stream uniform ``sub_l4`` slices of the
+    # one ref with a DYNAMIC offset (no per-slice XLA copies).
+    if sub_l4 is not None:
+        assert n_parts == 1
 
-    # stream the strip's plane stack as n_chunks contiguous ~2 MB copies,
-    # two in flight (start k+2 before waiting k below)
+        def dma_in(k):
+            return pltpu.make_async_copy(
+                warped_refs[0].at[pl.ds(step, 1), pl.ds(k * sub_l4, sub_l4)],
+                wstack.at[:, pl.ds(k * sub_l4, sub_l4)],
+                isem.at[lax.rem(k, 2) if not isinstance(k, int) else k % 2])
+    else:
+        def dma_in(k):
+            return pltpu.make_async_copy(
+                warped_refs[k].at[pl.ds(step, 1)],
+                wstack.at[:, offs[k]:offs[k] + part_l4s[k]],
+                isem.at[k % 2])
+
+    n_stream = part_l4s[0] // sub_l4 if sub_l4 is not None else n_parts
+    # two copies in flight (start k+2 before waiting k below)
     dma_in(0).start()
-    if n_chunks > 1:
+    if n_stream > 1:
         dma_in(1).start()
 
     # the previous strip's d_samp flush must land before pass2 overwrites
@@ -2306,33 +2486,46 @@ def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref, gp_ref,
     gc2 = gc_ref[0, 2, 0]
     nl = nl_ref[vi, si] if has_nl else None
 
-    def pass1_chunk(k, carry):
-        t, m = carry
+    def _plane_step(l, c):
+        t, m = c
+        t_ref[l] = t
+        m_ref[l] = m
+        a = wstack[0, l * 4 + 3]
+        one_m = jnp.maximum(1.0 - a, 0.0) + eps   # see block kernel note
+        if has_nl:
+            # dead plane: factor 1 freezes t/m at their last live values
+            # (a is garbage here; where() selects 1.0 even if a is NaN)
+            one_m = jnp.where(l < nl, one_m, 1.0)
+        return t * one_m, jnp.minimum(m, one_m)
 
-        @pl.when(k + 2 < n_chunks)
-        def _():
-            dma_in(k + 2).start()
+    ones = jnp.ones((rows, LANES), f32)
+    if sub_l4 is not None:
+        def pass1_chunk(k, carry):
+            @pl.when(k + 2 < n_stream)
+            def _():
+                dma_in(k + 2).start()
 
-        dma_in(k).wait()
+            dma_in(k).wait()
 
-        def plane(j, c):
-            t, m = c
-            l = k * (chunk_l4 // 4) + j
-            t_ref[l] = t
-            m_ref[l] = m
-            a = wstack[0, l * 4 + 3]
-            one_m = jnp.maximum(1.0 - a, 0.0) + eps   # see block kernel note
-            if has_nl:
-                # dead plane: factor 1 freezes t/m at their last live values
-                # (a is garbage here; where() selects 1.0 even if a is NaN)
-                one_m = jnp.where(l < nl, one_m, 1.0)
-            return t * one_m, jnp.minimum(m, one_m)
+            def plane(j, c):
+                return _plane_step(k * (sub_l4 // 4) + j, c)
 
-        return lax.fori_loop(0, chunk_l4 // 4, plane, (t, m))
+            return lax.fori_loop(0, sub_l4 // 4, plane, carry)
 
-    t_total, _ = lax.fori_loop(
-        0, n_chunks, pass1_chunk,
-        (jnp.ones((rows, LANES), f32), jnp.ones((rows, LANES), f32)))
+        t_total, _ = lax.fori_loop(0, n_stream, pass1_chunk, (ones, ones))
+    else:
+        carry = (ones, ones)
+        for k in range(n_parts):      # static unroll: parts are separate refs
+            if k + 2 < n_parts:
+                dma_in(k + 2).start()
+            dma_in(k).wait()
+            lo_k = offs[k] // 4
+
+            def plane(j, c, lo_k=lo_k):
+                return _plane_step(lo_k + j, c)
+
+            carry = lax.fori_loop(0, part_l4s[k] // 4, plane, carry)
+        t_total, _ = carry
 
     gt_term = None
     if has_gt:
@@ -2407,15 +2600,27 @@ def _composite_bwd_fat_kernel(scal_ref, q_ref, gc_ref, gd_ref, gt_ref, gp_ref,
 
 def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
                        grad_tau, with_live, gp=None, n_live=None):
-    """Per-strip fat composite backward (see :func:`_composite_bwd_fat_kernel`)."""
-    v, ns, l_planes = warped_f.shape[0], warped_f.shape[1], warped_f.shape[2]
-    r8 = warped_f.shape[4]
+    """Per-strip fat composite backward (see :func:`_composite_bwd_fat_kernel`).
+
+    ``warped_f`` may be one strip-major stack [V, NS, L, 4, R8, 128] or a
+    LIST of per-chunk stacks [V, NS, L_k, 4, R8, 128] (the fused fwd's
+    chunk residuals, streamed without a plane-axis concat).
+    """
+    parts = list(warped_f) if isinstance(warped_f, (list, tuple)) \
+        else [warped_f]
+    v, ns = parts[0].shape[0], parts[0].shape[1]
+    r8 = parts[0].shape[4]
+    l_planes = sum(p.shape[2] for p in parts)
     l4 = l_planes * 4
-    for chunk_l4 in (32, 16, 8, 4):
-        if l4 % chunk_l4 == 0:
-            break
-    n_chunks = l4 // chunk_l4
-    w_flat = warped_f.reshape(v * ns, l4, r8, LANES)
+    sub_l4 = None
+    if len(parts) == 1:
+        # single stack: stream uniform ~2 MB slices of the one ref with a
+        # dynamic in-kernel offset (no per-slice XLA copies)
+        for sub_l4 in (32, 16, 8, 4):
+            if l4 % sub_l4 == 0:
+                break
+    part_l4s = tuple(p.shape[2] * 4 for p in parts)
+    w_flats = [p.reshape(v * ns, p.shape[2] * 4, r8, LANES) for p in parts]
     zero = jnp.zeros((v, ns, r8, LANES), jnp.float32)
     gdr = zero if gd is None else gd
     gtr = zero if gt is None else gt
@@ -2425,7 +2630,7 @@ def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
         _composite_bwd_fat_kernel, L=l_planes, eps=eps,
         has_gd=gd is not None, has_gt=gt is not None, has_gp=gp is not None,
         grad_tau=grad_tau, with_live=with_live,
-        n_chunks=n_chunks, chunk_l4=chunk_l4, has_nl=n_live is not None)
+        part_l4s=part_l4s, sub_l4=sub_l4, has_nl=n_live is not None)
     field = pl.BlockSpec((1, 1, r8, LANES), lambda vi, si: (vi, si, 0, 0))
     nl_inputs, nl_specs = [], []
     if n_live is not None:
@@ -2448,7 +2653,8 @@ def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
                 field,
                 field,
                 *nl_specs,
-                pl.BlockSpec(memory_space=pl.ANY),   # warped (flat)
+                # warped parts (flat)
+                *[pl.BlockSpec(memory_space=pl.ANY) for _ in w_flats],
             ],
             out_specs=(
                 pl.BlockSpec(memory_space=pl.ANY),   # d_samp (flat)
@@ -2472,7 +2678,7 @@ def _composite_bwd_fat(warped_f, scal, qf, gc, gd, gt, eps, interpret,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(scal, qf, gc, gdr, gtr, gpr, *nl_inputs, w_flat)
+    )(scal, qf, gc, gdr, gtr, gpr, *nl_inputs, *w_flats)
     d_samp, live = outs
     d_samp = d_samp.reshape(v, ns, l_planes, 4, r8, LANES)
     if with_live:
@@ -2499,9 +2705,17 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
     ``with_live`` (requires grad_tau and L <= 128): additionally returns a
     per-plane liveness bitmap [V, L] float32 (>0 = some pixel live) so the
     splat can skip dead planes' DMA streams entirely.
+
+    ``warped_f`` may be a LIST of per-chunk stacks [V, NS, L_k, 4, R8, 128]
+    (fused-fwd chunk residuals): the fat backend streams them without a
+    plane-axis concat; other backends concatenate.
     """
-    v, ns, l_planes = warped_f.shape[0], warped_f.shape[1], warped_f.shape[2]
-    r8 = warped_f.shape[4]
+    is_parts = isinstance(warped_f, (list, tuple))
+    first = warped_f[0] if is_parts else warped_f
+    v, ns = first.shape[0], first.shape[1]
+    l_planes = (sum(p.shape[2] for p in warped_f) if is_parts
+                else warped_f.shape[2])
+    r8 = first.shape[4]
     with_live_ok = grad_tau is not None and l_planes <= LANES
     if _COMP_BACKEND != "block" and block_rows is None:
         # fat per-strip variant when its resident stacks fit VMEM (the
@@ -2513,6 +2727,8 @@ def composite_bwd_pallas(warped_f, scal, qf, gc, gd=None, gt=None,
                                       interpret, grad_tau,
                                       with_live and with_live_ok, gp=gp,
                                       n_live=n_live)
+    if is_parts:
+        warped_f = jnp.concatenate(warped_f, axis=2)
     if block_rows is None:
         # largest pixel block whose double-buffered in+out stacks + t/m
         # scratch fit the VMEM budget: the [.., L, 4, 1, br, 128] blocks are
@@ -2611,12 +2827,15 @@ def render_mpi_fused_fwd(
     compute_dtype=None,
     with_warped: bool = True,
     with_disp: bool = False,
+    warped_parts: bool = False,
 ):
     """Full fused MPI render forward: chained slab kernels front-to-back.
 
     Returns (color [V,3,H,W], depth [V,1,H,W], [disp [V,1,H,W] when
     ``with_disp``,] trans [V,1,H,W], warped [V,L,4,H,W]) — warped is the
-    residual stack for the backward.
+    residual stack for the backward.  ``warped_parts=True`` returns the
+    residual as the LIST of per-chunk stacks instead of concatenating
+    (composite_bwd_pallas streams them directly — saves a ~2x stack copy).
     """
     v, l_planes = rgba.shape[0], rgba.shape[1]
     tex_h, tex_w = rgba.shape[3], rgba.shape[4]
@@ -2629,7 +2848,7 @@ def render_mpi_fused_fwd(
     tex_pad = pad_textures(rgba.astype(compute_dtype or jnp.float32), pad_bot)
     n_base = 4 if with_disp else 3
     state = None
-    warped_parts = []
+    warped_chunks = []
     n_live = None
     for lo, hi, bands in plan:
         # packed_io: the composite state (incl. the grad path's S/M
@@ -2647,11 +2866,16 @@ def render_mpi_fused_fwd(
             # (liveness is monotone across the chained chunks)
             nl_k = outs[2]
             n_live = nl_k if n_live is None else n_live + nl_k
-        warped_parts.append(w)
+        warped_chunks.append(w)
     # warped stays in the strip-major subtile-flat layout [V, NS, L, 4,
     # R8, 128] (the VJP consumes it there); the chunk concat on the plane
     # axis copies contiguous L_chunk x 262 KB runs per (view, strip)
-    warped = jnp.concatenate(warped_parts, axis=2) if with_warped else None
+    if not with_warped:
+        warped = None
+    elif warped_parts:
+        warped = warped_chunks
+    else:
+        warped = jnp.concatenate(warped_chunks, axis=2)
     base = tuple(unflatten_pixels(x, h, w_img)
                  for x in ((state[:, 0:3],)
                            + tuple(state[:, 3 + i] for i in range(n_base - 1))))
@@ -2793,7 +3017,7 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
             rgba, dhw, ray_dir, eye_pos, z_dir, plan,
             early_out=early_out, eps=eps, interpret=interpret,
             precision=precision, compute_dtype=compute_dtype,
-            with_warped=True, with_disp=with_disp)
+            with_warped=True, with_disp=with_disp, warped_parts=True)
         return outs[:n_base]
 
     def fn_fwd(rgba, dhw, ray_dir, eye_pos, z_dir):
@@ -2809,8 +3033,8 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
             early_out="grad" if grad_sparsity else False,
             eps=eps, interpret=interpret,
             precision=precision, compute_dtype=compute_dtype,
-            with_disp=with_disp)
-        warped = outs[n_base]
+            with_disp=with_disp, warped_parts=True)
+        warped = tuple(outs[n_base])
         n_live = outs[n_base + 1] if grad_sparsity else None
         return outs[:n_base], (warped, n_live, dhw, ray_dir, eye_pos, z_dir)
 
@@ -2821,8 +3045,9 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
         else:
             g_color, g_depth, g_trans = cot
             g_disp = None
-        # warped is strip-major [V, NS, L, 4, R8, 128]
-        v, l_all = warped.shape[0], warped.shape[2]
+        # warped: per-chunk strip-major stacks [V, NS, L_k, 4, R8, 128]
+        v = warped[0].shape[0]
+        l_all = sum(w.shape[2] for w in warped)
         h, w_img = ray_dir.shape[2], ray_dir.shape[3]
         scal = jax.vmap(lambda e: plane_affine(dhw, e, tex_h, tex_w))(eye_pos)
         rx, ry, q = ray_fields(ray_dir.astype(jnp.float32),
@@ -2844,6 +3069,7 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
                 d_samp6, live_flags = d_samp6
         else:
             # debug fallback (XLA composite backward is plane-major)
+            warped = jnp.concatenate(warped, axis=2)
             if n_live is not None:
                 # zero the unwritten dead-plane slots the pallas path masks
                 lmask = (jnp.arange(l_all)[None, None, :] <
@@ -2868,6 +3094,25 @@ def make_fused_renderer(plan, adj_plan, tex_h: int, tex_w: int,
         parts = []
         if use_splat:
             rxf, ryf = flatten_pixels(rx), flatten_pixels(ry)
+            ns_, r8_ = rxf.shape[1], rxf.shape[2]
+            # alias-chain the chunk splats into ONE full-stack buffer when
+            # every chunk takes the fat kernel: each call writes only its
+            # planes in place, so the per-chunk concat (a ~2x stack copy at
+            # 96x1024^2) disappears
+            chain = (_SPLAT_BACKEND != "classic" and tex_w % LANES == 0
+                     and all(splat_fat_fits(tex_h, tex_w, ns_, r8_)
+                             and win_rows(STRIP + b.d_y) <= OUT_PAD_BOT + 8
+                             for _, _, b in plan))
+            if chain:
+                buf = None
+                for (lo, hi, bands), spl in zip(plan, adj_plan):
+                    buf = warp_splat(
+                        d_samp6, rxf, ryf, ry, scal[:, lo:hi],
+                        bands, spl, tex_h, tex_w, interpret=interpret,
+                        precision=precision, lo=lo, live_flags=live_flags,
+                        n_live=n_live, out_buf=buf, full_out=True)
+                return (buf, jnp.zeros_like(dhw), jnp.zeros_like(ray_dir),
+                        jnp.zeros_like(eye_pos), jnp.zeros_like(z_dir))
             for (lo, hi, bands), spl in zip(plan, adj_plan):
                 parts.append(warp_splat(
                     d_samp6, rxf, ryf, ry, scal[:, lo:hi],
